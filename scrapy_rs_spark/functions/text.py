@@ -1,0 +1,109 @@
+"""Parse-stage functions: HTML → extracted text, HTML → outgoing links.
+
+The reference delegates parsing to the spider (Spider.parse,
+/root/reference/core/src/spider.rs:29; css-selector examples in
+/root/reference/python/examples/complex_spider_example.py:325-353). We
+pin ONE deterministic extraction algorithm (stdlib html.parser, no
+third-party deps) so extracted text is byte-identical per url run-to-run
+— the per-row invariant.
+
+Pinned text algorithm:
+  * strict UTF-8 decode (invalid bytes → NULL row, routed to the error
+    channel — mirrors /root/reference/core/src/response.rs:71-78 which
+    errors on invalid UTF-8 rather than lossy-decoding)
+  * all character data outside <script>/<style>, each chunk
+    whitespace-stripped, empty chunks dropped, joined with "\\n"
+
+Link extraction: every href attribute of <a> tags in document order.
+
+Both are Arrow-batched pandas UDFs (Series→Series) — the only Python on
+the parse hot path, per input_hint.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+_SKIP_TAGS = {"script", "style"}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            stripped = data.strip()
+            if stripped:
+                self.chunks.append(stripped)
+
+
+class _LinkExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.links.append(value)
+
+
+def extract_text(html: bytes | str | None) -> str | None:
+    """Pinned html→text. None on invalid UTF-8 (strict decode)."""
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray)):
+        try:
+            html = bytes(html).decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return None
+    p = _TextExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return None
+    return "\n".join(p.chunks)
+
+
+def extract_links(html: bytes | str | None) -> list[str]:
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        try:
+            html = bytes(html).decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return []
+    p = _LinkExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+    return p.links
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_links_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_links)

@@ -1,0 +1,81 @@
+"""Frontier deduplication: the seen-set anti-join + in-batch winner.
+
+Reference semantics (identical across all five schedulers, e.g.
+/root/reference/scheduler/src/schedulers/memory_scheduler.rs:37-56):
+enqueue checks the seen set first; a duplicate URL is silently dropped;
+first enqueue wins and marks the URL seen immediately.
+
+Set-at-a-time restatement:
+  * in-batch dedup: deterministic winner per url_hash —
+    row_number over (priority DESC, depth ASC, discovery_round,
+    discovery_seq, url) == 1 (north-rule total order; the reference's
+    in-heap tie order is unspecified)
+  * cross-batch dedup: LEFT ANTI hash join against the seen table,
+    both sides bucketed by pmod(url_hash, B) so the join co-partitions
+    (Iceberg storage-partitioned join in production — the 10^10-row
+    seen set is scanned pruned and never re-shuffled)
+  * optional bloom pre-filter: a cheap might-contain pass that discards
+    the bulk of duplicate candidates before the exact anti-join; the
+    anti-join stays the source of truth, so false positives never drop
+    a URL (membership must match the reference exactly)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def winner_order() -> list[Column]:
+    """The deterministic in-batch winner / scheduler tie-break order."""
+    return [
+        F.col("priority").desc(),
+        F.col("depth").asc(),
+        F.col("discovery_round").asc(),
+        F.col("discovery_seq").asc(),
+        F.col("url").asc(),
+    ]
+
+
+def dedup_in_batch(candidates: DataFrame, key: str = "url_hash") -> DataFrame:
+    """Keep one deterministic winner per identity within a batch."""
+    w = Window.partitionBy(key).orderBy(*winner_order())
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key: str = "url_hash",
+    bloom=None,
+) -> DataFrame:
+    """Drop candidates whose identity is already in the seen set.
+
+    With a BloomSidecar (sources/bloom.py), candidates that *definitely*
+    aren't seen skip the exact anti-join; *maybe-seen* rows still go
+    through it, so bloom false positives never drop a URL — membership
+    always matches the reference exactly.
+
+    dont_filter rows bypass the check (reference declares the flag,
+    /root/reference/core/src/request.rs:101-103; its schedulers never
+    honored it — we do, documented deviation SURVEY.md §7.0)."""
+    seen_keys = seen.select(F.col(key).alias(key))
+    if bloom is not None:
+        tagged = bloom.split_candidates(candidates, key)
+        maybe_seen = tagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+        definitely_new = tagged.filter(~F.col("__maybe_seen")).drop(
+            "__maybe_seen"
+        )
+        survived = maybe_seen.join(seen_keys, on=key, how="left_anti")
+        fresh = definitely_new.unionByName(survived)
+    else:
+        fresh = candidates.join(seen_keys, on=key, how="left_anti")
+    if "dont_filter" in candidates.columns:
+        bypass = candidates.filter(F.col("dont_filter"))
+        fresh = fresh.filter(~F.col("dont_filter")).unionByName(bypass)
+    return fresh

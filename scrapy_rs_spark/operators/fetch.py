@@ -1,0 +1,133 @@
+"""Fetch stage: frontier batch × pages table, status routing, retries.
+
+The sandbox has no live HTTP; the Common-Crawl-style pages table IS the
+web (BASELINE.json input_hint). Fetch = equi join on the canonical URL:
+the set-at-a-time restatement of HttpDownloader::download
+(/root/reference/downloader/src/lib.rs:176-235) and download_many
+(:65-68 — a join does the whole batch's fan-out).
+
+Routing after fetch mirrors the reference's classification:
+  * success  = 200..299 (/root/reference/core/src/response.rs:121-123)
+  * redirect = 301,302,303,307,308 (:126-142), Location resolved
+    against the base URL, bounded by max_redirects
+    (/root/reference/core/src/request.rs:97-99, default 10)
+  * retryable = 5xx + 429 + 408 (+ missing page ≈ connection error)
+    per /root/reference/core/src/error.rs:446-472 and RetryMiddleware
+    defaults /root/reference/middleware/src/lib.rs:371-374
+  * permanent errors (404 etc.) → error channel, no retry
+
+Retry backoff: base * factor^retry_count, capped — error_handler.rs
+(/root/reference/core/src/error_handler.rs:152-157) — discretized to
+rounds: retry_not_before_round = round + ceil(backoff_ms / round_ms).
+Retried rows bypass the seen filter explicitly (the reference would
+silently drop them at re-enqueue since enqueue marks seen first,
+memory_scheduler.rs:40-46 — quirk J5 in SURVEY.md; we route retries
+around the seen check, membership unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+REDIRECT_STATUSES = [301, 302, 303, 307, 308]
+RETRYABLE_STATUSES = [408, 429, 500, 502, 503, 504]
+
+
+def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
+    """Left-join the ranked batch to the pages table on canonical url.
+
+    Left join so missing pages surface as fetch errors (status NULL ≈
+    connection error). The batch side is small relative to the web →
+    hint broadcast; Catalyst/AQE will fall back to sort-merge when the
+    batch outgrows the threshold. In production both sides are
+    bucket(url)-partitioned Iceberg → storage-partitioned join."""
+    p = pages.select(
+        F.col("url").alias("__p_url"),
+        F.col("status").alias("status"),
+        F.col("html").alias("html"),
+        F.col("headers").alias("headers"),
+        F.col("text").alias("page_text"),
+        F.col("lang").alias("lang"),
+        F.col("warc_ts").alias("warc_ts"),
+    )
+    return batch.join(p, batch["url_canon"] == p["__p_url"], "left").drop(
+        "__p_url"
+    )
+
+
+def is_success(status: Column) -> Column:
+    return status.between(200, 299)
+
+
+def is_redirect(status: Column) -> Column:
+    return status.isin(REDIRECT_STATUSES)
+
+
+def is_retryable(status: Column) -> Column:
+    """Retryable fetch outcomes; NULL status = page absent from the
+    pages table ≈ connection error (retryable in the reference,
+    error.rs:446-472)."""
+    return status.isNull() | status.isin(RETRYABLE_STATUSES)
+
+
+def split_fetched(fetched: DataFrame) -> dict[str, DataFrame]:
+    """Route one fetched batch into success / redirect / retry / error."""
+    status = F.col("status")
+    return {
+        "success": fetched.filter(is_success(status)),
+        "redirect": fetched.filter(is_redirect(status)),
+        "retry": fetched.filter(is_retryable(status)),
+        "error": fetched.filter(
+            ~is_success(status)
+            & ~is_redirect(status)
+            & ~is_retryable(status)
+        ),
+    }
+
+
+def backoff_rounds(retry_count: Column, settings) -> Column:
+    """ceil(base * factor^n / round_ms), capped at 6 rounds (the
+    reference caps absolute backoff at 60s, error_handler.rs:152-157)."""
+    backoff_ms = F.lit(settings.retry_backoff_base_ms) * F.pow(
+        F.lit(settings.retry_backoff_factor), retry_count.cast("double")
+    )
+    rounds = F.ceil(
+        F.least(backoff_ms, F.lit(60_000.0)) / F.lit(float(max(settings.round_duration_ms, 1)))
+    ).cast("int")
+    return F.greatest(rounds, F.lit(1))
+
+
+def build_retries(
+    retry_rows: DataFrame, current_round: int, settings
+) -> DataFrame:
+    """Failed fetches → next-round frontier rows with retry_count+1 and a
+    backoff gate; exhausted retries are dropped (counted as errors by
+    the caller). Columns reduced back to the frontier schema."""
+    frontier_cols = [
+        "url",
+        "url_canon",
+        "url_hash",
+        "host",
+        "method",
+        "priority",
+        "depth",
+        "discovery_round",
+        "discovery_seq",
+        "retry_count",
+        "dont_filter",
+        "retry_not_before_round",
+        "meta",
+    ]
+    kept = retry_rows.filter(
+        F.col("retry_count") < F.lit(settings.max_retries)
+    )
+    return (
+        kept.withColumn(
+            "retry_not_before_round",
+            F.lit(current_round)
+            + backoff_rounds(F.col("retry_count"), settings),
+        )
+        .withColumn("retry_count", F.col("retry_count") + 1)
+        .select(*frontier_cols)
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and an
+LSH-bucketed (random-hyperplane / SRP) variant as the scale path —
+probing only matching sign-buckets instead of all pairs.
+
+All vector math is JVM-side (zip_with/aggregate higher-order
+functions, whole-stage codegen) — no Python in the scoring loop. The
+hyperplanes are deterministic (numpy seed 42) literals broadcast into
+the plan, so results are reproducible run-to-run and under task retry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set
+    against the corpus, rank per query. The corpus never shuffles —
+    one pass, partial top-k per partition via the per-query Window
+    (queries are the partition key, so parallelism = n_queries × AQE).
+
+    Deterministic tie-break: (score DESC, id ASC)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    )
+    scored = vectors.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def srp_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def srp_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id = sign bits of the vector against each plane."""
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("bigint") * F.lit(1 << j))
+    return bucket
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    SRP bucket. At 10^9 vectors this turns an all-pairs scan into a
+    bucket-equi-join (expected bucket size = n/2^planes); recall is
+    tunable via n_planes (fewer planes → bigger buckets → higher
+    recall). Exactness NOT guaranteed — pair with brute_force_topk on
+    a sample to measure recall."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = srp_planes(dim, n_planes)
+    vb = vectors.withColumn("__bucket", srp_bucket_expr(F.col(vec_col), planes))
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    ).withColumn("__bucket", srp_bucket_expr(F.col("__qv"), planes))
+    scored = vb.join(F.broadcast(qb), "__bucket").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥
+    threshold). Bounded all-pairs (optionally id-capped) — the exact
+    baseline; the LSH bucket join above is the scale path."""
+    v = vectors
+    if max_id is not None:
+        v = v.filter(F.col(id_col) < max_id)
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

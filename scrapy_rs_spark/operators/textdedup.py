@@ -1,0 +1,182 @@
+"""Document deduplication family for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
+table — the curation ops a Common-Crawl-scale corpus needs after the
+crawl. All shapes are shuffle-conscious:
+
+  * exact: one hash-aggregate on md5(text) (partial agg map-side)
+  * minhash/LSH: shingle explode → per-(doc,band) min-agg →
+    band-bucket self-join (the join key (band, sig) is the LSH bucket,
+    so only colliding docs ever meet — no all-pairs blowup)
+  * simhash: explode words × 32 bit positions → two hash-aggregates
+  * jaccard: distinct-shingle join on bounded candidate pairs only
+
+Hashes derive from md5 hex (functions.analysis.h32) so every operator
+has an exact DuckDB oracle — cross-engine value parity, not just
+row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scrapy_rs_spark.functions.analysis import h32
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct text: (text_hash, keeper_id, n_dups).
+    Keeper = lowest id (deterministic winner)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Word n-gram shingles: (id, pos, shingle). Single-space word
+    split; shingle = n consecutive words joined by ' '. lead() windows
+    are per-document partitions — no global shuffle hotspots."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    out = words.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", *cols).alias("shingle"),
+        cols[-1].alias("__last"),
+    )
+    return out.filter(F.col("__last").isNotNull()).drop("__last")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded min-hash: (id, band, sig).
+
+    band = h32(shingle) % bands partitions the shingle space; sig =
+    lexicographic min of md5(shingle) within the band — a valid
+    min-hash (md5 is a uniform permutation of shingle space), and
+    exactly reproducible in SQL oracles."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    return (
+        sh.select(
+            F.col(id_col),
+            F.pmod(h32(F.col("shingle")), F.lit(bands)).cast("int").alias("band"),
+            F.md5(F.col("shingle")).alias("mh"),
+        )
+        .groupBy(id_col, "band")
+        .agg(F.min("mh").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs agreeing on any (band, sig) bucket → candidate near-dup
+    pairs (id_a < id_b, distinct). The self-join shuffles on the
+    bucket key only; bucket skew is bounded because sig is a 128-bit
+    min-hash (hot buckets = true near-dup clusters)."""
+    a = signatures.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("id_a")
+    )
+    b = signatures.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """32-bit SimHash over words: (id, simhash).
+
+    Each word's h32 votes ±1 per bit position; the fingerprint sets
+    bit j when the vote sum is positive. Two hash-aggregates, no
+    windows, fully codegen'd."""
+    words = docs.select(
+        F.col(id_col),
+        h32(F.explode(F.split(F.col(text_col), " "))).alias("wh"),
+    )
+    bitted = words.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.col("wh"),
+    ).withColumn(
+        "vote",
+        (F.shiftright(F.col("wh"), F.col("j").cast("int")) % 2) * 2 - 1,
+    )
+    votes = bitted.groupBy(id_col, "j").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("j").cast("int"))).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jaccard similarity of distinct word-n-gram sets for given
+    (id_a, id_b) pairs. Intersection via shingle equi-join; |A∪B| =
+    |A|+|B|-|A∩B| (no union materialization)."""
+    sh = (
+        shingles(docs, n=n, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("id"), "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,429 @@
+"""CrawlEngine: the set-at-a-time restatement of Engine::run().
+
+Reference loop (/root/reference/engine/src/lib.rs:260-1140): seed →
+while scheduler non-empty: pop (priority order) → request middleware →
+download → response middleware → retry check → parse → enqueue new
+requests → pipeline items. One crawl ROUND here is one Spark DAG:
+
+  frontier ──rank (W1/W2, politeness budgets)──► batch
+     batch ──equi-join pages (fetch)──► fetched
+   fetched ──status routing──► success / redirect / retry / error
+   success ──parse pandas UDF──► items + exploded links
+     links ──canonicalize──► candidates ──enqueue filters──►
+           ──in-batch dedup──► ──anti-join seen──► new frontier rows
+  commit(frontier', seen_delta, items, metrics) → next round
+
+The driver loop repeats until the frontier drains (scheduler empty,
+lib.rs:519) or page_limit is reached. Every round is an atomic commit
+(CrawlStore) → pause/resume at any round boundary (reference
+save_state/load_state, lib.rs:1196-1252).
+
+Determinism: all ordering/identity columns derive from (priority,
+depth, discovery_round, discovery_seq, url) — no wall clock, no rand —
+so Spark task retries and re-runs produce identical crawls.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scrapy_rs_spark.functions.text import extract_links_udf, extract_text_udf
+from scrapy_rs_spark.functions.url import urljoin_udf, url_hash_expr
+from scrapy_rs_spark.operators.dedup import anti_join_seen, dedup_in_batch
+from scrapy_rs_spark.operators.fetch import (
+    build_retries,
+    fetch_join,
+    split_fetched,
+)
+from scrapy_rs_spark.operators.scheduler import (
+    apply_enqueue_filters,
+    frontier_order,
+    per_host_topk,
+    robots_filter,
+    take_batch,
+)
+from scrapy_rs_spark.settings import Settings
+from scrapy_rs_spark.sources.seeds import seeds_frontier
+from scrapy_rs_spark.sources.store import CrawlStore
+
+FRONTIER_COLS = [
+    "url",
+    "url_canon",
+    "url_hash",
+    "host",
+    "method",
+    "priority",
+    "depth",
+    "discovery_round",
+    "discovery_seq",
+    "retry_count",
+    "dont_filter",
+    "retry_not_before_round",
+    "meta",
+]
+
+# effectively-unlimited per-host budget when no politeness delay is set
+_UNLIMITED = 1 << 31
+
+
+@dataclass
+class CrawlStats:
+    """EngineStats analogue (/root/reference/engine/src/stats/mod.rs:8-28)."""
+
+    requests: int = 0
+    responses: int = 0
+    items: int = 0
+    errors: int = 0
+    retries: int = 0
+    rounds: int = 0
+    new_urls: int = 0
+    per_round: list[dict] = field(default_factory=list)
+
+    def record(self, m: dict) -> None:
+        self.per_round.append(m)
+        self.rounds = max(self.rounds, m["round"])
+        self.requests += m["requests"]
+        self.responses += m["responses"]
+        self.items += m["items"]
+        self.errors += m["errors"]
+        self.retries += m["retries"]
+        self.new_urls += m["new_urls"]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        settings: Settings | None = None,
+        robots: DataFrame | None = None,
+        store_path: str | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.settings = settings or Settings()
+        self.robots = robots
+        self.store = CrawlStore(
+            spark,
+            store_path or tempfile.mkdtemp(prefix="crawlstore_"),
+            seen_buckets=self.settings.seen_buckets,
+        )
+
+    # ---- per-host budget for a round (politeness T1 + per-domain cap F6) ----
+    def _host_budget_col(self, served: DataFrame | None):
+        s = self.settings
+        delay = max(s.domain_delay_ms, s.download_delay_ms)
+        politeness = (
+            max(1, s.round_duration_ms // delay) if delay > 0 else _UNLIMITED
+        )
+        budget = F.lit(politeness)
+        if s.max_requests_per_domain is not None:
+            cap_left = F.lit(s.max_requests_per_domain) - F.coalesce(
+                F.col("__served"), F.lit(0)
+            )
+            budget = F.least(budget, cap_left)
+        return budget
+
+    def _with_served(self, df: DataFrame, served: DataFrame | None) -> DataFrame:
+        if served is None or self.settings.max_requests_per_domain is None:
+            return df.withColumn("__served", F.lit(0))
+        s = served.select(
+            F.col("host").alias("__s_host"), F.col("served").alias("__served")
+        )
+        return df.join(
+            F.broadcast(s), df["host"] == s["__s_host"], "left"
+        ).drop("__s_host")
+
+    # ---- one round ----
+    def _run_round(
+        self,
+        rnd: int,
+        frontier: DataFrame,
+        served: DataFrame | None,
+        pages_served_total: int,
+    ) -> dict:
+        s = self.settings
+        order = frontier_order(s.scheduler_type, s.crawl_strategy)
+
+        gated = frontier.filter(F.col("retry_not_before_round") > rnd)
+        ready = frontier.filter(F.col("retry_not_before_round") <= rnd)
+
+        if self.robots is not None and s.respect_robots_txt:
+            allowed = robots_filter(ready, self.robots)
+        else:
+            allowed = ready
+
+        # per-host budget rank (politeness + per-domain cap); hosts that
+        # exhausted their lifetime cap get budget<=0 → rows dropped
+        # (counted; the reference would skip them at dequeue forever,
+        # domain_group_scheduler.rs:234-238 — documented deviation:
+        # we retire them so the crawl terminates)
+        allowed = self._with_served(allowed, served)
+        budget = self._host_budget_col(served)
+        ranked = per_host_topk(
+            allowed.withColumn("__budget", budget),
+            F.col("__budget"),
+            order,
+            salts=s.host_salts,
+        )
+
+        # page_limit is the only global cap; concurrent_requests is a
+        # throughput knob in the reference (not a semantic boundary), so
+        # a round fetches every politeness-eligible row.
+        batch_cap = None
+        if s.page_limit is not None:
+            batch_cap = max(0, s.page_limit - pages_served_total)
+        batch = take_batch(ranked, order, batch_cap).select(
+            *FRONTIER_COLS, "batch_rank"
+        )
+        batch = batch.localCheckpoint(eager=True)  # reused 5×  below
+        n_batch = batch.count()
+
+        # rows that were politeness-deferred or over page_limit stay queued
+        leftover = ready.join(
+            batch.select("url_hash"), "url_hash", "left_anti"
+        ).select(*FRONTIER_COLS)
+        if self.robots is not None and s.respect_robots_txt:
+            # robots-blocked rows are retired from the frontier (they can
+            # never become fetchable), else they would loop forever
+            leftover = robots_filter(leftover, self.robots)
+
+        # capped-out hosts: budget<=0 rows must also be retired from leftover
+        if s.max_requests_per_domain is not None:
+            leftover = self._with_served(leftover, served)
+            leftover = leftover.filter(
+                self._host_budget_col(served) > 0
+            ).drop("__served")
+
+        # ---- fetch (J2) + route ----
+        fetched = fetch_join(batch, self.pages).localCheckpoint(eager=True)
+        routes = split_fetched(fetched)
+        n_success = routes["success"].count()
+        n_redirect = routes["redirect"].count()
+        n_error = routes["error"].count()
+
+        # ---- parse (X1): items + links, one pandas-UDF pass ----
+        success = routes["success"]
+        items = success.select(
+            F.col("url"),
+            F.lit("extracted_text").alias("item_type"),
+            extract_text_udf(F.col("html")).alias("text"),
+            F.lit(rnd).alias("rnd"),
+        )
+        links = (
+            success.select(
+                F.col("url_canon").alias("base"),
+                F.col("depth").alias("parent_depth"),
+                F.explode(extract_links_udf(F.col("html"))).alias("href"),
+            )
+            .withColumn("url", urljoin_udf(F.col("base"), F.col("href")))
+            .filter(F.col("url").isNotNull())
+        )
+        candidates = (
+            links.select(
+                F.col("url"),
+                F.col("url").alias("url_canon"),
+                (F.col("parent_depth") + 1).cast("int").alias("depth"),
+            )
+            # unresolvable hrefs already filtered (url IS NOT NULL above)
+            .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
+            .withColumn(
+                "url_hash", url_hash_expr(F.col("url_canon"), F.lit("GET"))
+            )
+            .withColumn("method", F.lit("GET"))
+            .withColumn("priority", F.lit(0))
+            .withColumn("discovery_round", F.lit(rnd + 1))
+            .withColumn("discovery_seq", F.lit(0).cast("long"))
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("dont_filter", F.lit(False))
+            .withColumn("retry_not_before_round", F.lit(0))
+            .withColumn("meta", F.lit(None).cast("map<string,string>"))
+        )
+
+        # redirects re-enter at the same depth (response.rs:126-142);
+        # hop count rides in meta, bounded by max_redirects
+        redirs = routes["redirect"].select(
+            urljoin_udf(
+                F.col("url_canon"), F.element_at(F.col("headers"), "location")
+            ).alias("url"),
+            F.col("depth"),
+            F.col("priority"),
+            (
+                F.coalesce(
+                    F.element_at(F.col("meta"), "redirect_hops").cast("int"),
+                    F.lit(0),
+                )
+                + 1
+            ).alias("hops"),
+        )
+        redirs = (
+            redirs.filter(
+                F.col("url").isNotNull()
+                & (F.col("hops") <= F.lit(s.max_redirects))
+            )
+            .select(
+                "url",
+                F.col("url").alias("url_canon"),
+                "depth",
+            )
+            .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
+            .withColumn(
+                "url_hash", url_hash_expr(F.col("url_canon"), F.lit("GET"))
+            )
+            .withColumn("method", F.lit("GET"))
+            .withColumn("priority", F.lit(0))
+            .withColumn("discovery_round", F.lit(rnd + 1))
+            .withColumn("discovery_seq", F.lit(0).cast("long"))
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("dont_filter", F.lit(False))
+            .withColumn("retry_not_before_round", F.lit(0))
+            .withColumn("meta", F.lit(None).cast("map<string,string>"))
+        )
+        candidates = candidates.select(*FRONTIER_COLS).unionByName(
+            redirs.select(*FRONTIER_COLS)
+        )
+
+        # ---- enqueue: filters → in-batch dedup → seen anti-join (F1-F4, J1) ----
+        candidates = apply_enqueue_filters(candidates, s)
+        candidates = dedup_in_batch(candidates)
+        seen = self.store.load_seen()
+        candidates = anti_join_seen(candidates, seen).select(*FRONTIER_COLS)
+
+        # ---- retries (J5/X5) ----
+        retries = build_retries(routes["retry"], rnd, s).select(*FRONTIER_COLS)
+        n_retry_in = routes["retry"].count()
+
+        next_frontier = (
+            gated.select(*FRONTIER_COLS)
+            .unionByName(leftover.select(*FRONTIER_COLS))
+            .unionByName(candidates)
+            .unionByName(retries)
+        )
+
+        # ---- commit (S9): seen grows at enqueue time, like the reference ----
+        seen_delta = candidates.select("url_hash")
+        new_served = batch.groupBy("host").agg(
+            F.count("*").cast("long").alias("served")
+        )
+        if served is not None:
+            new_served = (
+                new_served.unionByName(served)
+                .groupBy("host")
+                .agg(F.sum("served").alias("served"))
+            )
+
+        n_items = n_success  # one extracted-text item per successful page
+        metrics = {
+            "round": rnd,
+            "requests": n_batch,
+            "responses": n_success + n_redirect,
+            "items": n_items,
+            "errors": n_error,
+            "retries": 0,  # filled below
+            "new_urls": 0,  # filled below
+        }
+        n_retries_requeued = retries.count()
+        n_new = candidates.count()
+        n_exhausted = n_retry_in - n_retries_requeued
+        metrics["retries"] = n_retries_requeued
+        metrics["errors"] = n_error + n_exhausted
+        metrics["new_urls"] = n_new
+
+        self.store.commit_round(
+            rnd,
+            next_frontier,
+            seen_delta,
+            items,
+            new_served,
+            metrics,
+        )
+        return metrics
+
+    # ---- public API (X7 parity: Engine::run → stats) ----
+    def run(
+        self,
+        seeds: list | DataFrame,
+        max_rounds: int = 1_000,
+    ) -> CrawlStats:
+        s = self.settings
+        seeds_df = seeds_frontier(self.spark, seeds)
+        # invalid URLs error at Request construction in the reference
+        # (request.rs:107-108) — reject at enqueue, never fetch/retry
+        invalid = seeds_df.filter(F.col("url_canon").isNull()).count()
+        seeds_df = seeds_df.filter(F.col("url_canon").isNotNull())
+        frontier0 = apply_enqueue_filters(seeds_df, s)
+        frontier0 = dedup_in_batch(frontier0)
+        # round 0 = seeding commit: enqueue marks seen immediately
+        # (memory_scheduler.rs:40-46)
+        self.store.commit_round(
+            0,
+            frontier0,
+            frontier0.select("url_hash"),
+            None,
+            None,
+            {
+                "round": 0,
+                "requests": 0,
+                "responses": 0,
+                "items": 0,
+                "errors": invalid,
+                "retries": 0,
+                "new_urls": frontier0.count(),
+            },
+        )
+        return self.resume(max_rounds=max_rounds)
+
+    def resume(self, max_rounds: int = 1_000) -> CrawlStats:
+        """Continue from the latest committed round (pause/resume T5)."""
+        stats = CrawlStats()
+        for m in self.store.load_metrics():
+            stats.record(m)
+        last = self.store.latest_round()
+        if last is None:
+            raise RuntimeError("nothing to resume: no committed rounds")
+        frontier = self.store.load_frontier(last)
+        served = self.store.load_host_served(last) if last > 0 else None
+        pages_served = stats.requests
+        rnd = last
+        while rnd < max_rounds:
+            if (
+                self.settings.page_limit is not None
+                and pages_served >= self.settings.page_limit
+            ):
+                break
+            if frontier.isEmpty():
+                break
+            committed = rnd + 1
+            m = self._run_round(committed, frontier, served, pages_served)
+            stats.record(m)
+            pages_served += m["requests"]
+            frontier = self.store.load_frontier(committed)
+            served = self.store.load_host_served(committed)
+            rnd = committed
+            if m["requests"] == 0 and m["new_urls"] == 0:
+                # only retry-gated rows remain; fast-forward the round
+                # counter to the earliest gate instead of spinning
+                if frontier.isEmpty():
+                    break
+                min_gate = frontier.agg(
+                    F.min("retry_not_before_round")
+                ).collect()[0][0]
+                if min_gate is not None and min_gate > rnd + 1:
+                    rnd = min_gate - 1
+        return stats
+
+    # convenience accessors
+    def items(self) -> DataFrame:
+        return self.store.load_items()
+
+    def seen(self) -> DataFrame:
+        return self.store.load_seen()
+
+    def frontier(self) -> DataFrame:
+        last = self.store.latest_round()
+        return self.store.load_frontier(last)

@@ -1,0 +1,105 @@
+"""Fixed Spark schemas for every record type in the engine.
+
+Derivation from the reference's structs is documented per-schema
+(SURVEY.md §1.1). The reference is record-at-a-time with in-memory
+structs; we pin columnar StructTypes so scans prune columns and
+exchanges hash on stable keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# frontier row ⇔ scrapy_rs Request (/root/reference/core/src/request.rs:24-91).
+# Identity = (canonical url, method) per request.rs:240-253 → url_hash.
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_canon", T.StringType(), True),
+        T.StructField("url_hash", T.LongType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        # deterministic discrete time: (round, seq-within-round), never wall clock
+        T.StructField("discovery_round", T.IntegerType(), False),
+        T.StructField("discovery_seq", T.LongType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+        T.StructField("dont_filter", T.BooleanType(), False),
+        T.StructField("retry_not_before_round", T.IntegerType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FRONTIER_DDL = (
+    "url STRING, url_canon STRING, url_hash BIGINT, host STRING, method STRING,"
+    " priority INT, depth INT, discovery_round INT, discovery_seq BIGINT,"
+    " retry_count INT, dont_filter BOOLEAN, retry_not_before_round INT,"
+    " meta MAP<STRING,STRING>"
+)
+
+# pages row ⇔ Response (/root/reference/core/src/response.rs:11-46) shaped to
+# the Common-Crawl-style input_hint: (url, warc_ts, html, text, lang) + status.
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField(
+            "headers", T.MapType(T.StringType(), T.StringType()), True
+        ),
+    ]
+)
+
+# extracted item ⇔ DynamicItem (/root/reference/core/src/item.rs:28-36); the
+# flagship extracted-text item is fixed-schema for the byte-identical check.
+ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("item_type", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField(
+            "fields", T.MapType(T.StringType(), T.StringType()), True
+        ),
+    ]
+)
+
+# per-host policy ⇔ robots + per-domain config
+# (/root/reference/benchmark/src/mock_server.rs:177-192 robots fixture;
+#  /root/reference/engine/src/slot.rs per-domain delay).
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField(
+            "disallow_prefixes", T.ArrayType(T.StringType()), True
+        ),
+        T.StructField("crawl_delay_ms", T.LongType(), True),
+        T.StructField("max_concurrent", T.IntegerType(), True),
+    ]
+)
+
+# crawl metrics row ⇔ EngineStats (/root/reference/engine/src/stats/mod.rs:8-28)
+# + per-partition lineage required by the north rule.
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("requests", T.LongType(), False),
+        T.StructField("responses", T.LongType(), False),
+        T.StructField("items", T.LongType(), False),
+        T.StructField("errors", T.LongType(), False),
+        T.StructField("retries", T.LongType(), False),
+        T.StructField("new_urls", T.LongType(), False),
+        T.StructField("frontier_size", T.LongType(), False),
+        T.StructField("seen_size", T.LongType(), False),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)

@@ -1,0 +1,87 @@
+"""Engine settings.
+
+Mirrors the reference's flat settings map and key names
+(/root/reference/src/settings.rs:68-76, key inventory
+/root/reference/src/config_adapters.rs:33-66) as a typed dataclass.
+Defaults follow the reference defaults
+(/root/reference/engine/src/config/mod.rs:100-130,
+/root/reference/downloader/src/lib.rs:43-56).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class Settings:
+    # engine (engine/src/config/mod.rs:103-108)
+    concurrent_requests: int = 16  # per-round fetch batch size analogue
+    concurrent_items: int = 100
+    download_delay_ms: int = 0
+    max_depth: int | None = None
+    page_limit: int | None = None
+    respect_robots_txt: bool = True  # reference flag default true (config/mod.rs:108)
+    # scheduler (src/config_adapters.rs:119-175)
+    scheduler_type: str = "domain_group"  # memory|fifo|bfs|dfs|domain_group
+    crawl_strategy: str = "priority"  # priority|breadth_first|depth_first
+    domain_delay_ms: int = 0
+    max_requests_per_domain: int | None = None
+    domain_whitelist: list[str] = field(default_factory=list)
+    domain_blacklist: list[str] = field(default_factory=list)
+    # downloader (downloader/src/lib.rs:43-56)
+    user_agent: str = "scrapy-rs-spark/0.1"
+    request_timeout_ms: int = 30_000
+    max_retries: int = 3
+    retry_backoff_base_ms: int = 1_000
+    retry_backoff_factor: float = 2.0
+    follow_redirects: bool = True
+    max_redirects: int = 10
+    # url-filter middleware (middleware/src/lib.rs:213-299)
+    url_allow_pattern: str | None = None
+    url_deny_pattern: str | None = None
+    # spark-side knobs (no reference analogue; scale levers)
+    seen_buckets: int = 32  # hash buckets of the seen-set table (1000s at 10^10)
+    host_salts: int = 4  # default salt fan-out for hot hosts
+    round_duration_ms: int = 10_000  # politeness budget discretization window
+
+    # ---- reference-style flat-key loading (src/settings.rs:103-108) ----
+    _KEYMAP = {
+        "CONCURRENT_REQUESTS": "concurrent_requests",
+        "CONCURRENT_ITEMS": "concurrent_items",
+        "DOWNLOAD_DELAY_MS": "download_delay_ms",
+        "MAX_DEPTH": "max_depth",
+        "PAGE_LIMIT": "page_limit",
+        "RESPECT_ROBOTS_TXT": "respect_robots_txt",
+        "SCHEDULER_TYPE": "scheduler_type",
+        "CRAWL_STRATEGY": "crawl_strategy",
+        "DOMAIN_DELAY_MS": "domain_delay_ms",
+        "MAX_REQUESTS_PER_DOMAIN": "max_requests_per_domain",
+        "DOMAIN_WHITELIST": "domain_whitelist",
+        "DOMAIN_BLACKLIST": "domain_blacklist",
+        "USER_AGENT": "user_agent",
+        "REQUEST_TIMEOUT": "request_timeout_ms",
+        "MAX_RETRIES": "max_retries",
+        "FOLLOW_REDIRECTS": "follow_redirects",
+        "URL_ALLOW_PATTERN": "url_allow_pattern",
+        "URL_DENY_PATTERN": "url_deny_pattern",
+    }
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "Settings":
+        """Accept both reference UPPER_SNAKE keys and native field names."""
+        native = {f.name for f in fields(cls)}
+        kwargs = {}
+        for k, v in raw.items():
+            key = cls._KEYMAP.get(k, k.lower() if k.lower() in native else None)
+            if key:
+                kwargs[key] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Settings":
+        """Load JSON settings file (reference also parses TOML/YAML/py;
+        JSON is the lingua franca here)."""
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

@@ -1,0 +1,167 @@
+"""Durable crawl state: per-round committed tables + resume.
+
+Production design is Iceberg (ACID commits, bucket(url_hash) partition
+transform, storage-partitioned joins so the 10^10-row seen set is never
+re-shuffled). This sandbox has no Iceberg runtime jar, so the store is
+parquet directories with the same layout discipline:
+
+    root/rounds/round=NNNNNN/frontier/        (parquet)
+    root/rounds/round=NNNNNN/seen_delta/      (parquet, partitioned by bucket)
+    root/rounds/round=NNNNNN/items/           (parquet)
+    root/rounds/round=NNNNNN/host_served/     (parquet)
+    root/rounds/round=NNNNNN/metrics.json     (counters + lineage)
+    root/rounds/round=NNNNNN/MANIFEST.json    (commit marker, written last)
+
+A round is committed iff MANIFEST.json exists — the parquet analogue of
+an Iceberg snapshot commit; resume reads the max committed round
+(reference analogue: EngineState save/load,
+/root/reference/engine/src/lib.rs:1196-1252).
+
+Seen-set = union of seen_delta across committed rounds, hash-bucketed by
+``pmod(url_hash, seen_buckets)`` so membership probes prune buckets and
+the anti-join co-partitions. Deltas keep commits O(new urls), not
+O(total seen); `compact_seen` folds deltas when they pile up.
+
+Reading state back each round also truncates DataFrame lineage — the
+iterative-loop plan would otherwise grow unboundedly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scrapy_rs_spark.schemas import FRONTIER_DDL
+
+MANIFEST = "MANIFEST.json"
+
+
+class CrawlStore:
+    def __init__(self, spark: SparkSession, root: str, seen_buckets: int = 32):
+        self.spark = spark
+        self.root = root
+        self.seen_buckets = seen_buckets
+        os.makedirs(self._rounds_dir(), exist_ok=True)
+
+    # ---- layout ----
+    def _rounds_dir(self) -> str:
+        return os.path.join(self.root, "rounds")
+
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self._rounds_dir(), f"round={rnd:06d}")
+
+    def committed_rounds(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self._rounds_dir()):
+            return out
+        for name in os.listdir(self._rounds_dir()):
+            if name.startswith("round="):
+                rnd = int(name.split("=")[1])
+                if os.path.exists(os.path.join(self._round_dir(rnd), MANIFEST)):
+                    out.append(rnd)
+        return sorted(out)
+
+    def latest_round(self) -> int | None:
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else None
+
+    # ---- commit ----
+    def commit_round(
+        self,
+        rnd: int,
+        frontier: DataFrame,
+        seen_delta: DataFrame,
+        items: DataFrame | None,
+        host_served: DataFrame | None,
+        metrics: dict,
+    ) -> None:
+        """Write all state for a round, MANIFEST last (commit point).
+
+        An interrupted write leaves no MANIFEST → the round is invisible
+        to resume, exactly like an uncommitted Iceberg snapshot."""
+        d = self._round_dir(rnd)
+        if os.path.exists(d):
+            shutil.rmtree(d)  # re-running an uncommitted round is safe
+        frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        (
+            seen_delta.withColumn(
+                "bucket",
+                F.pmod(F.col("url_hash"), F.lit(self.seen_buckets)).cast("int"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(d, "seen_delta"))
+        )
+        if items is not None:
+            items.write.mode("overwrite").parquet(os.path.join(d, "items"))
+        if host_served is not None:
+            host_served.write.mode("overwrite").parquet(
+                os.path.join(d, "host_served")
+            )
+        with open(os.path.join(d, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        with open(os.path.join(d, MANIFEST), "w") as f:
+            json.dump({"round": rnd, "metrics": metrics}, f)
+
+    # ---- read back ----
+    def load_frontier(self, rnd: int) -> DataFrame:
+        return self.spark.read.schema(FRONTIER_DDL).parquet(
+            os.path.join(self._round_dir(rnd), "frontier")
+        )
+
+    def load_seen(self, upto_round: int | None = None) -> DataFrame:
+        """Union of committed seen deltas ≤ upto_round."""
+        rounds = self.committed_rounds()
+        if upto_round is not None:
+            rounds = [r for r in rounds if r <= upto_round]
+        paths = [
+            os.path.join(self._round_dir(r), "seen_delta") for r in rounds
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "url_hash BIGINT, bucket INT"
+            )
+        # one read per delta (each has its own bucket= partition root);
+        # a multi-path read would trip partition-discovery conflicts
+        out = None
+        for p in paths:
+            df = (
+                self.spark.read.schema("url_hash BIGINT, bucket INT")
+                .parquet(p)
+                .select("url_hash", "bucket")
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def load_host_served(self, rnd: int) -> DataFrame:
+        p = os.path.join(self._round_dir(rnd), "host_served")
+        if not os.path.isdir(p):
+            return self.spark.createDataFrame([], "host STRING, served BIGINT")
+        return self.spark.read.schema("host STRING, served BIGINT").parquet(p)
+
+    def load_items(self, rounds: list[int] | None = None) -> DataFrame:
+        rounds = rounds if rounds is not None else self.committed_rounds()
+        paths = [
+            os.path.join(self._round_dir(r), "items")
+            for r in rounds
+            if os.path.isdir(os.path.join(self._round_dir(r), "items"))
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "url STRING, item_type STRING, text STRING, rnd INT"
+            )
+        return self.spark.read.schema(
+            "url STRING, item_type STRING, text STRING, rnd INT"
+        ).parquet(*paths)
+
+    def load_metrics(self) -> list[dict]:
+        out = []
+        for r in self.committed_rounds():
+            with open(os.path.join(self._round_dir(r), "metrics.json")) as f:
+                out.append(json.load(f))
+        return out

@@ -1,0 +1,14 @@
+import pytest
+
+from scrapy_rs_spark.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(
+        app_name="scrapy_rs_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield s
+    s.stop()

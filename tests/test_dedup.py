@@ -1,0 +1,78 @@
+"""Seen-set anti-join + in-batch winner semantics (F1/F2/J1 in
+SURVEY.md §2): membership must match the reference scheduler exactly
+(enqueue-marks-seen, first-wins — memory_scheduler.rs:37-56)."""
+
+import pyspark.sql.functions as F
+
+from scrapy_rs_spark.operators.dedup import anti_join_seen, dedup_in_batch
+
+FRONTIER_DDL = (
+    "url STRING, url_hash BIGINT, priority INT, depth INT,"
+    " discovery_round INT, discovery_seq BIGINT, dont_filter BOOLEAN"
+)
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(rows, FRONTIER_DDL)
+
+
+def test_in_batch_winner_deterministic(spark):
+    # same identity enqueued twice → highest priority wins; ties break
+    # by depth, then discovery order, then url (north-rule total order)
+    df = _frontier(
+        spark,
+        [
+            ("u", 1, 0, 2, 0, 5, False),
+            ("u", 1, 3, 1, 0, 9, False),  # winner: higher priority
+            ("v", 2, 1, 1, 0, 1, False),
+            ("v", 2, 1, 1, 0, 0, False),  # winner: earlier arrival
+        ],
+    )
+    out = {r.url_hash: r for r in dedup_in_batch(df).collect()}
+    assert len(out) == 2
+    assert out[1].priority == 3
+    assert out[2].discovery_seq == 0
+
+
+def test_anti_join_drops_seen(spark):
+    cand = _frontier(spark, [("a", 1, 0, 0, 0, 0, False), ("b", 2, 0, 0, 0, 0, False)])
+    seen = spark.createDataFrame([(1,)], "url_hash BIGINT")
+    out = anti_join_seen(cand, seen).collect()
+    assert [r.url for r in out] == ["b"]
+
+
+def test_dont_filter_bypasses_seen(spark):
+    # documented deviation SURVEY.md §7.0: dont_filter honored
+    cand = _frontier(spark, [("a", 1, 0, 0, 0, 0, True), ("b", 2, 0, 0, 0, 0, False)])
+    seen = spark.createDataFrame([(1,), (2,)], "url_hash BIGINT")
+    out = anti_join_seen(cand, seen).collect()
+    assert [r.url for r in out] == ["a"]
+
+
+def test_bloom_sidecar_prefilter_is_exact(spark, tmp_path):
+    # bloom is a pre-filter only — results identical to plain anti-join,
+    # including against an EMPTY sidecar (no files yet)
+    import pyspark.sql.functions as F
+
+    from scrapy_rs_spark.sources.bloom import BloomSidecar
+
+    rows = [(f"u{i}", i * 2654435761, 0, 0, 0, i, False) for i in range(200)]
+    cand = _frontier(spark, rows)
+    seen_hashes = [i * 2654435761 for i in range(0, 200, 3)]
+    seen = spark.createDataFrame([(h,) for h in seen_hashes], "url_hash BIGINT")
+
+    side = BloomSidecar(str(tmp_path / "bloom"), n_buckets=8, bits_per_bucket=1 << 16)
+    # empty sidecar: everything is "definitely new"
+    assert anti_join_seen(cand, seen.limit(0), bloom=side).count() == 200
+    # build sidecar from seen, then probe
+    side.update_from(
+        seen.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(8)).cast("int"))
+    )
+    plain = {r.url_hash for r in anti_join_seen(cand, seen).collect()}
+    bloomed = {r.url_hash for r in anti_join_seen(cand, seen, bloom=side).collect()}
+    assert plain == bloomed
+    # no false negatives by construction: every seen hash is flagged maybe
+    tagged = side.split_candidates(
+        spark.createDataFrame([(h,) for h in seen_hashes], "url_hash BIGINT")
+    )
+    assert tagged.filter(~F.col("__maybe_seen")).count() == 0
