@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator slice from SURVEY.md §2
+(crawl-engine operators over an events-derived synthetic frontier, plus
+the training-data curation ops over documents/embeddings); ``oracle_sql()``
+gives the DuckDB-equivalent SQL. Spark sides run through the REAL engine
+operators (scrapy_rs_spark.operators/functions); oracles are handwritten
+ANSI SQL — structural parity is validated by tools/check_oracle.py, which
+replicates the driver's sorted-value comparison locally.
+
+Cross-engine hashing uses md5-hex-derived integers (functions.analysis.h32)
+so values (not just row counts) match DuckDB bit-for-bit; per-row float
+expressions are rounded in BOTH engines at the same precision.
 """
 
 from __future__ import annotations
@@ -12,27 +18,721 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+# ---------------------------------------------------------------------------
+# derived synthetic frontier from the events table — identical construction
+# on both engines (SURVEY.md §2: frontier row = url/host/priority/depth/seq)
+# ---------------------------------------------------------------------------
+
+def _frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")["events"]
+    host_num = F.col("user_id") % 50
+    return ev.select(
+        F.concat(
+            F.lit("http://host"), host_num.cast("string"),
+            F.lit(".test/page/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("host"), host_num.cast("string"), F.lit(".test")).alias("host"),
+        host_num.cast("int").alias("host_num"),
+        (F.col("event_id") % 100).cast("int").alias("priority"),
+        (F.col("event_id") % 7).cast("int").alias("depth"),
+        (F.col("event_id") % 4).cast("int").alias("retry_count"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 == 0, 500)
+        .when(F.col("event_id") % 10 == 1, 503)
+        .when(F.col("event_id") % 10 == 2, 429)
+        .when(F.col("event_id") % 10 == 3, 404)
+        .when(F.col("event_id") % 10 == 4, 301)
+        .otherwise(200)
+        .cast("int")
+        .alias("status"),
+        F.col("ts"),
+    ).withColumn("discovery_round", F.lit(0)).withColumn(
+        "discovery_seq", F.col("seq")
+    )
+
+
+_FRONTIER_CTE = """
+frontier AS (
+  SELECT
+    'http://host' || CAST(user_id % 50 AS STRING) || '.test/page/'
+      || CAST(event_id AS STRING) AS url,
+    'host' || CAST(user_id % 50 AS STRING) || '.test' AS host,
+    CAST(user_id % 50 AS INT) AS host_num,
+    CAST(event_id % 100 AS INT) AS priority,
+    CAST(event_id % 7 AS INT) AS depth,
+    CAST(event_id % 4 AS INT) AS retry_count,
+    event_id AS seq,
+    CAST(CASE CAST(event_id % 10 AS INT)
+      WHEN 0 THEN 500 WHEN 1 THEN 503 WHEN 2 THEN 429
+      WHEN 3 THEN 404 WHEN 4 THEN 301 ELSE 200 END AS INT) AS status,
+    ts
+  FROM events
+)"""
+
+_W1_ORDER = "priority DESC, depth ASC, seq ASC, url ASC"
+
+
+# ---------------------------------------------------------------------------
+# dialect helpers for oracle/spark SQL parity where DataFrame API isn't used
+# ---------------------------------------------------------------------------
+
+def _h32_duck(e: str) -> str:
+    return f"CAST('0x' || substr(md5({e}), 1, 8) AS BIGINT)"
+
+
+def _words_cte_duck(src: str = "documents") -> str:
+    return (
+        f"words AS (SELECT doc_id,"
+        f" generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,"
+        f" unnest(string_split(text, ' ')) AS w FROM {src})"
+    )
+
+
+_SHINGLES_DUCK = """
+shingled AS (
+  SELECT doc_id, pos,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+         lead(w, 2) OVER win AS w2
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+shingles AS (SELECT doc_id, pos, shingle FROM shingled WHERE w2 IS NOT NULL)"""
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side — real engine operators)
+# ---------------------------------------------------------------------------
+
+def _q_frontier_rank_priority(spark, sf_dir):
+    """W1: global priority-order top-k (TakeOrderedAndProject)."""
+    from scrapy_rs_spark.operators.scheduler import frontier_order, take_batch
+
+    fr = _frontier_df(spark, sf_dir)
+    order = frontier_order("memory", "priority")
+    return take_batch(fr, order, 100).select(
+        "url", "host", "priority", "depth", "batch_rank"
+    )
+
+
+def _q_frontier_rank_bfs(spark, sf_dir):
+    """C11+W1: breadth_first strategy (effective priority = -depth)."""
+    from scrapy_rs_spark.operators.scheduler import frontier_order, take_batch
+
+    fr = _frontier_df(spark, sf_dir)
+    order = frontier_order("memory", "breadth_first")
+    return take_batch(fr, order, 100).select("url", "depth", "batch_rank")
+
+
+def _q_seen_antijoin(spark, sf_dir):
+    """F1/J1: seen-set membership via left-anti join on md5-derived key."""
+    from scrapy_rs_spark.functions.analysis import h32
+    from scrapy_rs_spark.operators.dedup import anti_join_seen
+
+    fr = _frontier_df(spark, sf_dir).withColumn("url_hash", h32(F.col("url")))
+    seen = fr.filter(F.col("seq") % 3 == 0).select("url_hash")
+    return anti_join_seen(fr, seen).select("url", "host")
+
+
+def _q_inbatch_dedup(spark, sf_dir):
+    """F2: deterministic in-batch winner per identity."""
+    from scrapy_rs_spark.operators.dedup import dedup_in_batch
+
+    fr = _frontier_df(spark, sf_dir).withColumn(
+        "url_hash", (F.col("seq") % 497).cast("bigint")
+    )
+    return dedup_in_batch(fr).select(
+        F.col("url_hash").alias("identity"), "url", "priority"
+    )
+
+
+def _q_depth_filter(spark, sf_dir):
+    """F3 + A2: depth limit then per-domain counts."""
+    fr = _frontier_df(spark, sf_dir)
+    return (
+        fr.filter(F.col("depth") <= 2)
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _q_domain_topk(spark, sf_dir):
+    """W2: per-domain priority rank, top-3 per host (salted two-phase)."""
+    from scrapy_rs_spark.functions.analysis import h32
+    from scrapy_rs_spark.operators.scheduler import frontier_order, per_host_topk
+
+    fr = _frontier_df(spark, sf_dir).withColumn("url_hash", h32(F.col("url")))
+    order = frontier_order("domain_group", "priority")
+    return per_host_topk(fr, 3, order, salts=2).select(
+        "host", "url", "priority", "host_rank"
+    )
+
+
+def _q_domain_counts(spark, sf_dir):
+    """A2: requests per domain."""
+    fr = _frontier_df(spark, sf_dir)
+    return fr.groupBy("host").agg(F.count("*").cast("bigint").alias("n"))
+
+
+def _q_effective_priority(spark, sf_dir):
+    """C11: crawl-strategy effective priority transforms."""
+    from scrapy_rs_spark.operators.scheduler import effective_priority_col
+
+    fr = _frontier_df(spark, sf_dir)
+    return fr.select(
+        "url",
+        effective_priority_col("priority").alias("eff_priority").cast("int"),
+        effective_priority_col("breadth_first").cast("int").alias("eff_bfs"),
+        effective_priority_col("depth_first").cast("int").alias("eff_dfs"),
+    )
+
+
+def _q_retry_backoff(spark, sf_dir):
+    """X5/J5: retryable classification + exponential backoff, capped."""
+    from scrapy_rs_spark.operators.fetch import RETRYABLE_STATUSES
+
+    fr = _frontier_df(spark, sf_dir)
+    backoff = F.least(
+        F.lit(1000.0) * F.pow(F.lit(2.0), F.col("retry_count").cast("double")),
+        F.lit(60000.0),
+    ).cast("bigint")
+    return fr.filter(F.col("status").isin(RETRYABLE_STATUSES)).select(
+        "url", "status", "retry_count", backoff.alias("backoff_ms")
+    )
+
+
+def _q_robots_filter(spark, sf_dir):
+    """J3: RFC 9309 prefix Disallow via broadcast policy join."""
+    from scrapy_rs_spark.operators.scheduler import robots_filter
+
+    fr = _frontier_df(spark, sf_dir).withColumn("url_canon", F.col("url"))
+    robots = (
+        fr.select("host", "host_num")
+        .distinct()
+        .filter(F.col("host_num") % 5 == 0)
+        .select(
+            "host",
+            F.array(F.lit("/page/1")).alias("disallow_prefixes"),
+        )
+    )
+    return robots_filter(fr, robots).select("url", "host")
+
+
+def _q_politeness_budget(spark, sf_dir):
+    """T1: per-host round budget = floor(round/delay), rank ≤ budget."""
+    from scrapy_rs_spark.functions.analysis import h32
+    from scrapy_rs_spark.operators.scheduler import frontier_order, per_host_topk
+
+    fr = (
+        _frontier_df(spark, sf_dir)
+        .withColumn("url_hash", h32(F.col("url")))
+        .withColumn("budget", (F.lit(1) + F.col("host_num") % 4).cast("int"))
+    )
+    order = frontier_order("domain_group", "priority")
+    return per_host_topk(fr, F.col("budget"), order, salts=2).select(
+        "host", "url", "host_rank", "budget"
+    )
+
+
+def _q_redirect_resolve(spark, sf_dir):
+    """C6: redirect detection + Location resolution (via the real
+    urljoin pandas UDF — oracle recomputes with pure SQL concat)."""
+    from scrapy_rs_spark.functions.url import urljoin_udf
+
+    fr = _frontier_df(spark, sf_dir)
+    red = fr.filter(F.col("status") == 301).withColumn(
+        "location",
+        F.concat(F.lit("/page/"), (F.col("seq") + 1).cast("string")),
+    )
+    return red.select(
+        "url", urljoin_udf(F.col("url"), F.col("location")).alias("resolved")
+    )
+
+
+def _q_error_rollup(spark, sf_dir):
+    """A3: error stats by class × host."""
+    fr = _frontier_df(spark, sf_dir)
+    cls = (
+        F.when(F.col("status") < 300, "2xx")
+        .when(F.col("status") < 400, "3xx")
+        .when(F.col("status") < 500, "4xx")
+        .otherwise("5xx")
+    )
+    return (
+        fr.withColumn("status_class", cls)
+        .groupBy("host", "status_class")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _q_rate_metrics(spark, sf_dir):
+    """A4: per-round request counts + lag delta."""
+    from pyspark.sql.window import Window
+
+    fr = _frontier_df(spark, sf_dir).withColumn(
+        "round", (F.col("seq") % 20).cast("int")
+    )
+    per = fr.groupBy("round").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.orderBy("round")
+    return per.withColumn("delta", F.col("n") - F.lag("n").over(w))
+
+
+def _q_fifo_order(spark, sf_dir):
+    """W5: FIFO arrival order (ts, url), top-50."""
+    fr = _frontier_df(spark, sf_dir)
+    return (
+        fr.orderBy(F.col("ts").asc(), F.col("url").asc())
+        .limit(50)
+        .select("url", F.unix_timestamp("ts").alias("epoch_s"))
+    )
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """C1: the real canonicalization UDF vs a closed-form expected URL
+    (uppercase scheme/host lowered, default port stripped, fragment
+    dropped — rust-url parity corpus)."""
+    from scrapy_rs_spark.functions.url import canonicalize_url_udf
+
+    fr = _frontier_df(spark, sf_dir).filter(F.col("seq") % 11 == 0)
+    raw = F.concat(
+        F.lit("HTTP://Host"), F.col("host_num").cast("string"),
+        F.lit(".TEST:80/Page/"), F.col("seq").cast("string"), F.lit("#frag"),
+    )
+    return fr.select(
+        raw.alias("raw"), canonicalize_url_udf(raw).alias("canon")
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from scrapy_rs_spark.operators.textdedup import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return exact_dedup(docs)
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from scrapy_rs_spark.operators.textdedup import minhash_signatures
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return minhash_signatures(docs, bands=8)
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from scrapy_rs_spark.operators.textdedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    return lsh_candidate_pairs(minhash_signatures(both, bands=8))
+
+
+def _q_simhash(spark, sf_dir):
+    from scrapy_rs_spark.operators.textdedup import simhash
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return simhash(docs, bits=32)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from scrapy_rs_spark.operators.textdedup import ngram_jaccard
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    pairs = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") + 1 <= mx)
+    ).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return ngram_jaccard(docs, pairs)
+
+
+def _q_lang_id(spark, sf_dir):
+    from scrapy_rs_spark.functions.analysis import lang_id_heuristic
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", lang_id_heuristic("text").alias("pred"))
+
+
+def _q_quality_score(spark, sf_dir):
+    from scrapy_rs_spark.functions.analysis import quality_score
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    from scrapy_rs_spark.functions.analysis import (
+        token_count_regex,
+        token_count_ws,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").cast("bigint").alias("n_ws"),
+        token_count_regex("text").cast("bigint").alias("n_re"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from scrapy_rs_spark.functions.analysis import fingerprint
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from scrapy_rs_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from scrapy_rs_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    out = cosine_near_dup_pairs(emb, threshold=0.30, max_id=300)
+    return out.select("id_a", "id_b", F.round("score", 4).alias("score"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """Approximate NN via SRP-LSH buckets — no exact SQL oracle (the
+    scale path; recall measured against brute force in tests)."""
+    from scrapy_rs_spark.operators.similarity import lsh_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, queries, k=5, n_planes=4)
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    """Binary-column plumbing (mapInPandas, stubbed decoder) — no SQL
+    oracle (Arrow/mapInPandas path)."""
+    from scrapy_rs_spark.operators.multimodal import decode_and_featurize
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    payloads = docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return decode_and_featurize(payloads)
+
+
+def _q_crawl_bfs(spark, sf_dir):
+    """The crawl spine as an oracle-checked query: 3 BFS rounds over the
+    closed-form (i+k+1)%N mock-site link graph — iterative DataFrame
+    rounds (U1/F1/J1/W3) vs a DuckDB recursive CTE."""
+    n_pages, links, max_depth = 50, 5, 3
+    edges = (
+        spark.range(0, n_pages)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(links)),
+                    lambda k: F.pmod(F.col("id") + k, F.lit(n_pages)),
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    frontier = spark.createDataFrame([(0, 0)], "page_id BIGINT, min_depth INT")
+    seen = frontier
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["page_id"] == edges["src"])
+            .select(F.col("dst").alias("page_id"))
+            .distinct()
+            .join(seen.select("page_id"), "page_id", "left_anti")
+            .withColumn("min_depth", F.lit(d))
+        )
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return seen
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: W1 frontier ranking on sf0.001."""
+    return _q_frontier_rank_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "frontier_rank_priority": _q_frontier_rank_priority,
+        "frontier_rank_bfs": _q_frontier_rank_bfs,
+        "seen_antijoin": _q_seen_antijoin,
+        "inbatch_dedup": _q_inbatch_dedup,
+        "depth_filter": _q_depth_filter,
+        "domain_topk": _q_domain_topk,
+        "domain_counts": _q_domain_counts,
+        "effective_priority": _q_effective_priority,
+        "retry_backoff": _q_retry_backoff,
+        "robots_filter": _q_robots_filter,
+        "politeness_budget": _q_politeness_budget,
+        "redirect_resolve": _q_redirect_resolve,
+        "error_rollup": _q_error_rollup,
+        "rate_metrics": _q_rate_metrics,
+        "fifo_order": _q_fifo_order,
+        "url_canonicalize": _q_url_canonicalize,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_pairs": _q_lsh_pairs,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "token_count": _q_token_count,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_lsh": _q_ann_lsh,
+        "multimodal_decode": _q_multimodal_decode,
+        "crawl_bfs": _q_crawl_bfs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h = _h32_duck
+    stop = "['the','a','an','and','of','to','in','is','it','that','for','on','with','as','are','was','this','by','be','or']"
+    return {
+        "frontier_rank_priority": f"""
+WITH {_FRONTIER_CTE}
+SELECT url, host, priority, depth, CAST(rn AS INT) AS batch_rank
+FROM (SELECT *, row_number() OVER (ORDER BY {_W1_ORDER}) AS rn FROM frontier)
+WHERE rn <= 100""",
+        "frontier_rank_bfs": f"""
+WITH {_FRONTIER_CTE}
+SELECT url, depth, CAST(rn AS INT) AS batch_rank
+FROM (SELECT *, row_number() OVER
+      (ORDER BY -depth DESC, depth ASC, seq ASC, url ASC) AS rn FROM frontier)
+WHERE rn <= 100""",
+        "seen_antijoin": f"""
+WITH {_FRONTIER_CTE},
+hashed AS (SELECT *, {h('url')} AS url_hash FROM frontier),
+seen AS (SELECT url_hash FROM hashed WHERE seq % 3 = 0)
+SELECT url, host FROM hashed
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url_hash = hashed.url_hash)""",
+        "inbatch_dedup": f"""
+WITH {_FRONTIER_CTE},
+keyed AS (SELECT *, CAST(seq % 497 AS BIGINT) AS identity FROM frontier)
+SELECT identity, url, priority
+FROM (SELECT *, row_number() OVER (PARTITION BY identity
+      ORDER BY priority DESC, depth ASC, discovery_round ASC,
+               seq ASC, url ASC) AS rn
+      FROM (SELECT *, 0 AS discovery_round FROM keyed))
+WHERE rn = 1""",
+        "depth_filter": f"""
+WITH {_FRONTIER_CTE}
+SELECT host, COUNT(*) AS n FROM frontier WHERE depth <= 2 GROUP BY host""",
+        "domain_topk": f"""
+WITH {_FRONTIER_CTE}
+SELECT host, url, priority, CAST(rn AS INT) AS host_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY host ORDER BY {_W1_ORDER}) AS rn
+      FROM frontier)
+WHERE rn <= 3""",
+        "domain_counts": f"""
+WITH {_FRONTIER_CTE}
+SELECT host, COUNT(*) AS n FROM frontier GROUP BY host""",
+        "effective_priority": f"""
+WITH {_FRONTIER_CTE}
+SELECT url, priority AS eff_priority, CAST(-depth AS INT) AS eff_bfs,
+       depth AS eff_dfs
+FROM frontier""",
+        "retry_backoff": f"""
+WITH {_FRONTIER_CTE}
+SELECT url, status, retry_count,
+       CAST(least(1000.0 * pow(2.0, CAST(retry_count AS DOUBLE)), 60000.0)
+            AS BIGINT) AS backoff_ms
+FROM frontier WHERE status IN (408, 429, 500, 502, 503, 504)""",
+        "robots_filter": f"""
+WITH {_FRONTIER_CTE}
+SELECT url, host FROM frontier
+WHERE NOT (host_num % 5 = 0
+           AND ('/page/' || CAST(seq AS STRING)) LIKE '/page/1%')""",
+        "politeness_budget": f"""
+WITH {_FRONTIER_CTE},
+budgeted AS (SELECT *, CAST(1 + host_num % 4 AS INT) AS budget FROM frontier)
+SELECT host, url, CAST(rn AS INT) AS host_rank, budget
+FROM (SELECT *, row_number() OVER (PARTITION BY host ORDER BY {_W1_ORDER}) AS rn
+      FROM budgeted)
+WHERE rn <= budget""",
+        "redirect_resolve": f"""
+WITH {_FRONTIER_CTE}
+SELECT url,
+       'http://host' || CAST(host_num AS STRING) || '.test/page/'
+         || CAST(seq + 1 AS STRING) AS resolved
+FROM frontier WHERE status = 301""",
+        "error_rollup": f"""
+WITH {_FRONTIER_CTE}
+SELECT host,
+       CASE WHEN status < 300 THEN '2xx' WHEN status < 400 THEN '3xx'
+            WHEN status < 500 THEN '4xx' ELSE '5xx' END AS status_class,
+       COUNT(*) AS n
+FROM frontier GROUP BY 1, 2""",
+        "rate_metrics": f"""
+WITH {_FRONTIER_CTE},
+per AS (SELECT CAST(seq % 20 AS INT) AS round, COUNT(*) AS n
+        FROM frontier GROUP BY 1)
+SELECT round, n, n - lag(n) OVER (ORDER BY round) AS delta FROM per""",
+        "fifo_order": f"""
+WITH {_FRONTIER_CTE}
+SELECT url, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM frontier ORDER BY ts ASC, url ASC LIMIT 50""",
+        "url_canonicalize": f"""
+WITH {_FRONTIER_CTE}
+SELECT 'HTTP://Host' || CAST(host_num AS STRING) || '.TEST:80/Page/'
+         || CAST(seq AS STRING) || '#frag' AS raw,
+       'http://host' || CAST(host_num AS STRING) || '.test/Page/'
+         || CAST(seq AS STRING) AS canon
+FROM frontier WHERE seq % 11 = 0""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1""",
+        "minhash_signatures": f"""
+WITH {_words_cte_duck()},{_SHINGLES_DUCK}
+SELECT doc_id, CAST({h('shingle')} % 8 AS INT) AS band,
+       MIN(md5(shingle)) AS sig
+FROM shingles GROUP BY doc_id, band""",
+        "lsh_pairs": f"""
+WITH docs2 AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text FROM documents),
+{_words_cte_duck('docs2')},{_SHINGLES_DUCK},
+sigs AS (SELECT doc_id, CAST({h('shingle')} % 8 AS INT) AS band,
+                MIN(md5(shingle)) AS sig
+         FROM shingles GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id""",
+        "simhash": f"""
+WITH {_words_cte_duck()},
+hashed AS (SELECT doc_id, {h('w')} AS wh FROM words),
+bits AS (SELECT doc_id, j, ((wh >> j) & 1) * 2 - 1 AS vote
+         FROM hashed, (SELECT unnest(range(0, 32)) AS j)),
+votes AS (SELECT doc_id, j, SUM(vote) AS v FROM bits GROUP BY doc_id, j)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id""",
+        "ngram_jaccard": f"""
+WITH {_words_cte_duck()},{_SHINGLES_DUCK},
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM shingles),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents, mx
+          WHERE doc_id % 10 = 0 AND doc_id + 1 <= m),
+inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+          FROM pairs p
+          JOIN sh a ON a.id = p.id_a
+          JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+          GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b,
+       round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.id = p.id_a
+JOIN sizes sb ON sb.id = p.id_b
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""",
+        "lang_id": f"""
+SELECT doc_id,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                 w -> list_contains({stop}, lower(w)))) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) >= 0.08
+            THEN 'en' ELSE 'unknown' END AS pred
+FROM documents""",
+        "quality_score": f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> list_contains({stop}, lower(w)))) AS DOUBLE) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents)
+SELECT doc_id,
+       round(0.4 * least(n_words / 100.0, 1.0)
+           + 0.3 * least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+           + 0.2 * (CASE WHEN n_chars / greatest(n_words, 1.0) >= 3
+                          AND n_chars / greatest(n_words, 1.0) <= 10
+                         THEN 1.0 ELSE 0.5 END)
+           + 0.1 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)),
+           6) AS quality
+FROM base""",
+        "token_count": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_re,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents""",
+        "doc_fingerprint": """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents""",
+        "cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  round(round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]),
+                      CAST(q.qv AS DOUBLE[])), 6), 4) AS score,
+                  round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]),
+                      CAST(q.qv AS DOUBLE[])), 6) AS score6
+           FROM embeddings e, q)
+SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score6 DESC, neighbor_id ASC) AS rn FROM scored)
+WHERE rn <= 5""",
+        "embedding_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6), 4)
+         AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.30""",
+        "crawl_bfs": """
+WITH RECURSIVE edges AS (
+  SELECT src, (src + k) % 50 AS dst
+  FROM (SELECT unnest(range(0, 50)) AS src),
+       (SELECT unnest(range(1, 6)) AS k)
+),
+bfs(page_id, min_depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT CAST(e.dst AS BIGINT), b.min_depth + 1
+  FROM bfs b JOIN edges e ON e.src = b.page_id
+  WHERE b.min_depth < 3
+)
+SELECT page_id, CAST(MIN(min_depth) AS INT) AS min_depth
+FROM bfs GROUP BY page_id""",
+    }

@@ -1,0 +1,114 @@
+"""Benchmark harness.
+
+Headline: crawl throughput — frontier URLs scheduled+fetched per second
+on a synthetic mock-site web (the reference benchmark's own site shape,
+scaled by SF), plus per-query wall times for every operator slice in
+__spark_entry__.queries() at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "crawl_urls_per_sec", "value": <urls/sec>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": <sf>,
+   "crawl": {...}, "scaling": {...present with SPARK_GRAFT_SCALING=1...}}
+
+Scaling evidence (north rule: efficiency ≥ 0.8 from N → 4N): run with
+SPARK_GRAFT_SCALING=1 to execute the same crawl at local[8] and
+local[32] and report throughput@8, throughput@32, efficiency =
+(T32/T8)/4. Results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from scrapy_rs_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+
+# crawl benchmark size: 200k pages/SF-unit → 20k pages at sf0.1
+CRAWL_PAGES = max(1000, int(200_000 * SF))
+CRAWL_LINKS = 10
+
+
+def run_crawl(master: str, pages_n: int) -> dict:
+    """One full BFS crawl of the synthetic site; returns throughput."""
+    from scrapy_rs_spark.plans.engine import CrawlEngine
+    from scrapy_rs_spark.settings import Settings
+    from scrapy_rs_spark.sources.mocksite import mock_site_pages
+
+    spark = build_session(app_name="bench_crawl", master=master)
+    store = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        pages = mock_site_pages(
+            spark, page_count=pages_n, links_per_page=CRAWL_LINKS
+        )
+        # pre-materialize the web (input, not part of crawl timing)
+        pages = pages.localCheckpoint(eager=True)
+        eng = CrawlEngine(
+            spark,
+            pages,
+            Settings(scheduler_type="breadth_first"),
+            store_path=store,
+        )
+        t0 = time.time()
+        stats = eng.run(["http://mocksite.test/0"])
+        dt = time.time() - t0
+        return {
+            "master": master,
+            "pages": pages_n,
+            "urls": stats.requests,
+            "items": stats.items,
+            "rounds": stats.rounds,
+            "seconds": round(dt, 2),
+            "urls_per_sec": round(stats.requests / dt, 1),
+        }
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    result: dict = {"unit": "sec", "sf": SF, "queries": {}}
+
+    # ---- operator-slice timings at SF_DIR ----
+    spark = build_session(app_name="bench_queries", master=f"local[{CPUS}]")
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        try:
+            n = fn(spark, SF_DIR).count()
+            result["queries"][name] = round(time.time() - t0, 3)
+        except Exception as e:  # record, don't die
+            result["queries"][name] = None
+            result.setdefault("errors", {})[name] = str(e)[:200]
+    spark.stop()
+
+    # ---- headline crawl throughput ----
+    crawl = run_crawl(f"local[{CPUS}]", CRAWL_PAGES)
+    result["crawl"] = crawl
+    result["metric"] = "crawl_urls_per_sec"
+    result["value"] = crawl["urls_per_sec"]
+
+    # ---- scaling evidence (opt-in: full extra crawl at local[8]) ----
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        c8 = run_crawl("local[8]", CRAWL_PAGES)
+        eff = round((crawl["urls_per_sec"] / c8["urls_per_sec"]) / 4.0, 3)
+        result["scaling"] = {
+            "throughput_at_8": c8["urls_per_sec"],
+            "throughput_at_32": crawl["urls_per_sec"],
+            "efficiency_8_to_32": eff,
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,22 +120,24 @@ def simhash(
     windows, fully codegen'd."""
     words = docs.select(
         F.col(id_col),
-        h32(F.explode(F.split(F.col(text_col), " "))).alias("wh"),
-    )
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).select(F.col(id_col), h32(F.col("w")).alias("wh"))
     bitted = words.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
         F.col("wh"),
     ).withColumn(
+        # shiftright/shiftleft with a COLUMN bit count only resolve via
+        # SQL expr (the pyspark wrappers require int literals)
         "vote",
-        (F.shiftright(F.col("wh"), F.col("j").cast("int")) % 2) * 2 - 1,
+        (F.expr("shiftright(wh, j)") % 2) * 2 - 1,
     )
     votes = bitted.groupBy(id_col, "j").agg(F.sum("vote").alias("v"))
     return votes.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("j").cast("int"))).otherwise(
-                F.lit(0).cast("bigint")
-            )
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
+            ).otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
     )
 

@@ -293,6 +293,10 @@ class CrawlEngine:
         candidates = dedup_in_batch(candidates)
         seen = self.store.load_seen()
         candidates = anti_join_seen(candidates, seen).select(*FRONTIER_COLS)
+        # one materialization — candidates feed the count, the seen delta,
+        # and the frontier commit; without this the parse-UDF chain would
+        # recompute 3-4× per round
+        candidates = candidates.localCheckpoint(eager=True)
 
         # ---- retries (J5/X5) ----
         retries = build_retries(routes["retry"], rnd, s).select(*FRONTIER_COLS)

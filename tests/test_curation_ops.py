@@ -1,0 +1,165 @@
+"""Training-data curation operators: dedup family, similarity search,
+text analysis, multimodal plumbing (SURVEY.md extension set — the ops a
+100 TB webtext pipeline runs after the crawl)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from scrapy_rs_spark.functions.analysis import (
+    fingerprint,
+    lang_id_heuristic,
+    quality_score,
+    token_count_ws,
+)
+from scrapy_rs_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_and_featurize,
+    frame_sample,
+)
+from scrapy_rs_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_ann_topk,
+)
+from scrapy_rs_spark.operators.textdedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog and runs far away to the"
+    " hills where it rests in the shade of a tall tree"
+)
+NEAR = DOC.replace("lazy", "sleepy")  # one-word edit → near-duplicate
+OTHER = (
+    "completely different content about spark query engines and shuffle"
+    " partitioning with no overlap in wording whatsoever at all here"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, DOC), (1, NEAR), (2, OTHER), (3, DOC)],
+        "doc_id BIGINT, text STRING",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.keeper_id: r.n_dups for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # doc 3 is an exact copy of doc 0
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, bands=8)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs  # one-word edit shares most shingles
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_distance(spark, docs):
+    h = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert h[0] == h[3]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+    assert ham(h[0], h[1]) <= 8
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 3), (0, 1), (0, 2)], "id_a BIGINT, id_b BIGINT"
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(docs, pairs).collect()}
+    assert out[(0, 3)] == 1.0
+    assert 0.5 < out[(0, 1)] < 1.0
+    assert out[(0, 2)] == 0.0
+
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def test_brute_force_topk(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(vecs, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [0, 1, 2]
+    assert out[0].score == 1.0
+
+
+def test_lsh_ann_recall(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r.neighbor_id for r in brute_force_topk(vecs, q, k=2).collect()}
+    approx = {
+        r.neighbor_id
+        for r in lsh_ann_topk(vecs, q, k=2, n_planes=1, dim=4).collect()
+    }
+    # with 1 plane half the space shares the bucket — the true top
+    # neighbor (same direction) must land with the query
+    assert 0 in approx
+    assert len(exact & approx) >= 1
+
+
+def test_cosine_near_dup_pairs(spark, vecs):
+    out = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(vecs, 0.9).collect()}
+    assert (0, 1) in out
+    assert (0, 4) not in out
+
+
+def test_multimodal_decode_stub(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef" * 100)), (2, bytearray(b""))],
+        "id BIGINT, payload BINARY",
+    )
+    out = {r.id: r for r in decode_and_featurize(df).collect()}
+    assert out[1].n_bytes == 600
+    assert len(out[1].feature) == FEATURE_DIM
+    assert out[2].n_bytes == 0
+    # deterministic: same payload → same feature
+    again = {r.id: r for r in decode_and_featurize(df).collect()}
+    assert again[1].feature == out[1].feature
+    # real decode path is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        decode_and_featurize(df, real_decode=True).collect()
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 4096))], "id BIGINT, payload BINARY"
+    )
+    rows = frame_sample(df, every_n_bytes=1024).collect()
+    assert [r.byte_offset for r in rows] == [0, 1024, 2048, 3072]
+
+
+def test_text_analysis(spark, docs):
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            lang_id_heuristic("text").alias("pred"),
+            F.round(quality_score("text"), 6).alias("q"),
+            token_count_ws("text").alias("n"),
+            fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert out[0].pred == "en"  # stopword-rich English
+    assert 0.0 <= out[0].q <= 1.0
+    assert out[0].n == len(DOC.split(" "))
+    assert out[0].fp == out[3].fp  # identical docs → identical fingerprint
+    assert out[0].fp != out[2].fp
