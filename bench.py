@@ -35,17 +35,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 
 # crawl benchmark size: 200k pages/SF-unit → 20k pages at sf0.1
-CRAWL_PAGES = max(1000, int(200_000 * SF))
+CRAWL_PAGES = max(2000, int(2_000_000 * SF))
 CRAWL_LINKS = 10
 
 
-def run_crawl(master: str, pages_n: int) -> dict:
-    """One full BFS crawl of the synthetic site; returns throughput."""
+def _crawl_once(spark, pages_n: int) -> dict:
     from scrapy_rs_spark.plans.engine import CrawlEngine
     from scrapy_rs_spark.settings import Settings
     from scrapy_rs_spark.sources.mocksite import mock_site_pages
 
-    spark = build_session(app_name="bench_crawl", master=master)
     store = tempfile.mkdtemp(prefix="bench_store_")
     try:
         pages = mock_site_pages(
@@ -59,11 +57,17 @@ def run_crawl(master: str, pages_n: int) -> dict:
             Settings(scheduler_type="breadth_first"),
             store_path=store,
         )
+        # the (i+k+1)%N graph only discovers ~links_per_page new pages per
+        # BFS level — a single seed would take N/links rounds. Seed every
+        # 2·links-th page (a crawl restart list, like a real recrawl) so
+        # the frontier is wide and the whole site is covered in ~4 rounds.
+        seeds = [
+            f"http://mocksite.test/{i}" for i in range(0, pages_n, 2 * CRAWL_LINKS)
+        ]
         t0 = time.time()
-        stats = eng.run(["http://mocksite.test/0"])
+        stats = eng.run(seeds)
         dt = time.time() - t0
         return {
-            "master": master,
             "pages": pages_n,
             "urls": stats.requests,
             "items": stats.items,
@@ -73,10 +77,45 @@ def run_crawl(master: str, pages_n: int) -> dict:
         }
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def run_crawl(master: str, pages_n: int) -> dict:
+    """Fresh-subprocess crawl measurement: a new JVM per configuration
+    plus an untimed warmup crawl, so JIT/codegen warmth doesn't favor
+    whichever configuration happens to run second."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--crawl", master, str(pages_n)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    try:
+        res = json.loads(line)
+    except Exception:
+        raise RuntimeError(
+            f"crawl subprocess failed: {out.stderr[-2000:]}"
+        ) from None
+    res["master"] = master
+    return res
+
+
+def crawl_main(master: str, pages_n: int) -> None:
+    spark = build_session(app_name="bench_crawl", master=master)
+    try:
+        _crawl_once(spark, max(2000, pages_n // 10))  # warmup (untimed)
+        print(json.dumps(_crawl_once(spark, pages_n)))
+    finally:
         spark.stop()
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--crawl":
+        crawl_main(sys.argv[2], int(sys.argv[3]))
+        return
+
     result: dict = {"unit": "sec", "sf": SF, "queries": {}}
 
     # ---- operator-slice timings at SF_DIR ----

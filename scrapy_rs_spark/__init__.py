@@ -19,5 +19,15 @@ join strategy, and skew; Python runs only inside Arrow-batched UDFs.
 from scrapy_rs_spark.session import build_session
 from scrapy_rs_spark.settings import Settings
 
-__all__ = ["build_session", "Settings"]
+
+def __getattr__(name):
+    # lazy: Spider/run_crawl pull in the engine stack
+    if name in ("Spider", "run_crawl"):
+        from scrapy_rs_spark import api
+
+        return getattr(api, name)
+    raise AttributeError(name)
+
+
+__all__ = ["build_session", "Settings", "Spider", "run_crawl"]
 __version__ = "0.1.0"

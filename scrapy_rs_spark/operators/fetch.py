@@ -42,15 +42,23 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
     hint broadcast; Catalyst/AQE will fall back to sort-merge when the
     batch outgrows the threshold. In production both sides are
     bucket(url)-partitioned Iceberg → storage-partitioned join."""
+    # project ONLY what a round consumes (url/status/html/headers) —
+    # pages.text/lang/warc_ts would ride through every shuffle and at
+    # 100 TB the text column alone is a large fraction of the table;
+    # the pruned ReadSchema reaches the parquet/Iceberg scan
     p = pages.select(
         F.col("url").alias("__p_url"),
         F.col("status").alias("status"),
         F.col("html").alias("html"),
         F.col("headers").alias("headers"),
-        F.col("text").alias("page_text"),
-        F.col("lang").alias("lang"),
-        F.col("warc_ts").alias("warc_ts"),
     )
+    # response columns own the plain names; request-side columns that
+    # collide (e.g. headers set by request middleware) become req_*
+    # — the reference Response likewise embeds the originating request
+    # (response.rs:11-46)
+    for c in ("status", "html", "headers"):
+        if c in batch.columns:
+            batch = batch.withColumnRenamed(c, f"req_{c}")
     return batch.join(p, batch["url_canon"] == p["__p_url"], "left").drop(
         "__p_url"
     )

@@ -1,0 +1,166 @@
+"""Middleware & pipeline chains — the reference's extension surface,
+set-at-a-time.
+
+Reference model (/root/reference/middleware/src/lib.rs): ordered
+RequestMiddleware / ResponseMiddleware chains, priority-sorted
+(Highest=1000 … Lowest=0, higher runs first, lib.rs:478-483); item
+Pipelines with open/process/close lifecycle
+(/root/reference/pipeline/src/lib.rs:14-32, chained :261-268).
+
+Here a middleware is a named (priority, DataFrame → DataFrame)
+transform; a chain sorts by priority DESC and composes. Everything is
+declarative — Catalyst fuses the whole chain into one plan, so N
+middlewares cost zero extra passes (vs the reference's N sequential
+async hops per record).
+
+Built-ins mirror the reference set:
+  * DefaultHeadersMiddleware  (lib.rs:95-211: UA + default headers)
+  * UrlFilterMiddleware       (lib.rs:213-299: allow/deny regex)
+  * RateLimitMiddleware       (lib.rs:953-1047: N per window → per-round cap)
+  * ConditionalMiddleware     (lib.rs:813-951: predicate-gated transform)
+  * FilterPipeline            (pipeline/src/lib.rs:203-237)
+  * JsonFilePipeline / CsvFilePipeline sinks (pipeline/src/lib.rs:104-200;
+    CSV was design-doc only in the reference — design.md:43)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Transform = Callable[[DataFrame], DataFrame]
+
+# reference priority constants (middleware/src/lib.rs:30-40)
+HIGHEST, HIGH, NORMAL, LOW, LOWEST = 1000, 800, 500, 200, 0
+
+
+@dataclass
+class Middleware:
+    name: str
+    transform: Transform
+    priority: int = NORMAL
+
+
+@dataclass
+class MiddlewareChain:
+    """Ordered transform composition (priority DESC, then insertion)."""
+
+    middlewares: list[Middleware] = field(default_factory=list)
+
+    def add(self, name: str, transform: Transform, priority: int = NORMAL):
+        self.middlewares.append(Middleware(name, transform, priority))
+        return self
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        ordered = sorted(
+            enumerate(self.middlewares),
+            key=lambda t: (-t[1].priority, t[0]),
+        )
+        for _, mw in ordered:
+            df = mw.transform(df)
+        return df
+
+
+# ---- built-in request middlewares ----
+
+def default_headers(headers: dict[str, str], user_agent: str | None = None) -> Transform:
+    """Inject default headers into the request meta map (reference adds
+    them to every outgoing request)."""
+    h = dict(headers)
+    if user_agent:
+        h["user-agent"] = user_agent
+
+    def _t(df: DataFrame) -> DataFrame:
+        kv = []
+        for k, v in h.items():
+            kv += [F.lit(k), F.lit(v)]
+        new = F.create_map(*kv)
+        if "headers" in df.columns:
+            # request-set headers win over defaults (reference semantics:
+            # default_headers only fills missing keys)
+            merged = F.map_concat(
+                F.map_filter(
+                    new, lambda k, v: ~F.map_contains_key(F.coalesce(F.col("headers"), F.create_map()), k)
+                ),
+                F.coalesce(F.col("headers"), F.create_map().cast("map<string,string>")),
+            )
+            return df.withColumn("headers", merged)
+        return df.withColumn("headers", new)
+
+    return _t
+
+
+def url_filter(allow: str | None = None, deny: str | None = None) -> Transform:
+    """F5: regex allow/deny on the URL (denied rows dropped — the
+    reference rejects them into the error manager)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        out = df
+        if deny:
+            out = out.filter(~F.col("url").rlike(deny))
+        if allow:
+            out = out.filter(F.col("url").rlike(allow))
+        return out
+
+    return _t
+
+
+def rate_limit(max_per_round: int, order: list[Column] | None = None) -> Transform:
+    """T3: sliding-window rate limit, discretized to a per-round cap
+    (N per T secs → N·round/T rows per round); deterministic order."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        ob = order or [F.col("url").asc()]
+        return df.orderBy(*ob).limit(max_per_round)
+
+    return _t
+
+
+def conditional(predicate: Column, transform: Transform) -> Transform:
+    """F9: apply `transform` only to rows matching predicate; others
+    pass through untouched. Branch-as-union (both sides stay in one
+    Catalyst plan)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        hit = transform(df.filter(predicate))
+        miss = df.filter(~F.coalesce(predicate, F.lit(False)))
+        return hit.unionByName(miss, allowMissingColumns=True)
+
+    return _t
+
+
+# ---- item pipelines / sinks ----
+
+def filter_pipeline(predicate: Column) -> Transform:
+    """F8: drop items failing the predicate."""
+    return lambda df: df.filter(predicate)
+
+
+def json_file_pipeline(path: str, mode: str = "overwrite") -> Transform:
+    """S6: JSON sink (distributed json-lines; the reference writes one
+    growing JSON array per process — per-row appends don't scale)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        df.write.mode(mode).json(path)
+        return df
+
+    return _t
+
+
+def csv_file_pipeline(path: str, mode: str = "overwrite") -> Transform:
+    """S7 (design.md:43 — unimplemented in the reference; trivial here).
+    Map/array columns are dropped (CSV can't carry them)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        flat = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() not in ("map", "array", "struct")
+        ]
+        df.select(*flat).write.mode(mode).option("header", True).csv(path)
+        return df
+
+    return _t

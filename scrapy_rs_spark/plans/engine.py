@@ -103,11 +103,24 @@ class CrawlEngine:
         settings: Settings | None = None,
         robots: DataFrame | None = None,
         store_path: str | None = None,
+        parse_text_udf=None,
+        parse_links_udf=None,
+        request_middlewares=None,
+        response_middlewares=None,
+        item_pipelines=None,
     ):
         self.spark = spark
         self.pages = pages
         self.settings = settings or Settings()
         self.robots = robots
+        # X1: user parse hooks (Arrow pandas UDFs); defaults = pinned
+        # extractors. X2-X4: ordered transform chains
+        # (operators/middleware.MiddlewareChain or any DataFrame→DataFrame)
+        self.parse_text_udf = parse_text_udf or extract_text_udf
+        self.parse_links_udf = parse_links_udf or extract_links_udf
+        self.request_middlewares = request_middlewares
+        self.response_middlewares = response_middlewares
+        self.item_pipelines = item_pipelines
         self.store = CrawlStore(
             spark,
             store_path or tempfile.mkdtemp(prefix="crawlstore_"),
@@ -163,14 +176,21 @@ class CrawlEngine:
         # (counted; the reference would skip them at dequeue forever,
         # domain_group_scheduler.rs:234-238 — documented deviation:
         # we retire them so the crawl terminates)
-        allowed = self._with_served(allowed, served)
-        budget = self._host_budget_col(served)
-        ranked = per_host_topk(
-            allowed.withColumn("__budget", budget),
-            F.col("__budget"),
-            order,
-            salts=s.host_salts,
-        )
+        delay = max(s.domain_delay_ms, s.download_delay_ms)
+        unlimited = delay <= 0 and s.max_requests_per_domain is None
+        if unlimited:
+            # fast path: no politeness, no cap → no per-host ranking at
+            # all (saves two Window shuffles per round)
+            ranked = allowed
+        else:
+            allowed = self._with_served(allowed, served)
+            budget = self._host_budget_col(served)
+            ranked = per_host_topk(
+                allowed.withColumn("__budget", budget),
+                F.col("__budget"),
+                order,
+                salts=s.host_salts,
+            )
 
         # page_limit is the only global cap; concurrent_requests is a
         # throughput knob in the reference (not a semantic boundary), so
@@ -181,8 +201,9 @@ class CrawlEngine:
         batch = take_batch(ranked, order, batch_cap).select(
             *FRONTIER_COLS, "batch_rank"
         )
-        batch = batch.localCheckpoint(eager=True)  # reused 5×  below
-        n_batch = batch.count()
+        if self.request_middlewares is not None:
+            batch = self.request_middlewares(batch)  # X2
+        batch = batch.localCheckpoint(eager=True)  # reused 5× below
 
         # rows that were politeness-deferred or over page_limit stay queued
         leftover = ready.join(
@@ -201,25 +222,52 @@ class CrawlEngine:
             ).drop("__served")
 
         # ---- fetch (J2) + route ----
-        fetched = fetch_join(batch, self.pages).localCheckpoint(eager=True)
+        fetched = fetch_join(batch, self.pages)
+        if self.response_middlewares is not None:
+            fetched = self.response_middlewares(fetched)  # X3
+        fetched = fetched.localCheckpoint(eager=True)
         routes = split_fetched(fetched)
-        n_success = routes["success"].count()
-        n_redirect = routes["redirect"].count()
-        n_error = routes["error"].count()
+        # ONE aggregation for all route counters (5 counts = 1 job, not 5
+        # — per-round driver actions are the fixed cost of a round)
+        from scrapy_rs_spark.operators.fetch import (
+            is_redirect,
+            is_retryable,
+            is_success,
+        )
+
+        st = F.col("status")
+        crow = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum(is_success(st).cast("long")).alias("ok"),
+            F.sum(is_redirect(st).cast("long")).alias("red"),
+            F.sum(is_retryable(st).cast("long")).alias("rty"),
+            F.sum(
+                (
+                    ~is_success(st) & ~is_redirect(st) & ~is_retryable(st)
+                ).cast("long")
+            ).alias("err"),
+        ).collect()[0]
+        n_batch = crow["n"] or 0
+        n_success = crow["ok"] or 0
+        n_redirect = crow["red"] or 0
+        n_retry_in = crow["rty"] or 0
+        n_error = crow["err"] or 0
 
         # ---- parse (X1): items + links, one pandas-UDF pass ----
         success = routes["success"]
         items = success.select(
             F.col("url"),
             F.lit("extracted_text").alias("item_type"),
-            extract_text_udf(F.col("html")).alias("text"),
+            self.parse_text_udf(F.col("html")).alias("text"),
             F.lit(rnd).alias("rnd"),
         )
+        if self.item_pipelines is not None:
+            items = self.item_pipelines(items)  # X4
         links = (
             success.select(
                 F.col("url_canon").alias("base"),
                 F.col("depth").alias("parent_depth"),
-                F.explode(extract_links_udf(F.col("html"))).alias("href"),
+                F.explode(self.parse_links_udf(F.col("html"))).alias("href"),
             )
             .withColumn("url", urljoin_udf(F.col("base"), F.col("href")))
             .filter(F.col("url").isNotNull())
@@ -300,7 +348,6 @@ class CrawlEngine:
 
         # ---- retries (J5/X5) ----
         retries = build_retries(routes["retry"], rnd, s).select(*FRONTIER_COLS)
-        n_retry_in = routes["retry"].count()
 
         next_frontier = (
             gated.select(*FRONTIER_COLS)
@@ -311,15 +358,18 @@ class CrawlEngine:
 
         # ---- commit (S9): seen grows at enqueue time, like the reference ----
         seen_delta = candidates.select("url_hash")
-        new_served = batch.groupBy("host").agg(
-            F.count("*").cast("long").alias("served")
-        )
-        if served is not None:
-            new_served = (
-                new_served.unionByName(served)
-                .groupBy("host")
-                .agg(F.sum("served").alias("served"))
+        if s.max_requests_per_domain is not None:
+            new_served = batch.groupBy("host").agg(
+                F.count("*").cast("long").alias("served")
             )
+            if served is not None:
+                new_served = (
+                    new_served.unionByName(served)
+                    .groupBy("host")
+                    .agg(F.sum("served").alias("served"))
+                )
+        else:
+            new_served = None  # lifetime per-host accounting only with a cap
 
         n_items = n_success  # one extracted-text item per successful page
         metrics = {
@@ -407,7 +457,11 @@ class CrawlEngine:
             stats.record(m)
             pages_served += m["requests"]
             frontier = self.store.load_frontier(committed)
-            served = self.store.load_host_served(committed)
+            if self.settings.max_requests_per_domain is not None:
+                served = self.store.load_host_served(committed)
+            if committed % self.settings.seen_compact_every == 0:
+                # keep the seen-set one read wide (deltas pile up 1/round)
+                self.store.compact_seen()
             rnd = committed
             if m["requests"] == 0 and m["new_urls"] == 0:
                 # only retry-gated rows remain; fast-forward the round

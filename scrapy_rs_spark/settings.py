@@ -45,6 +45,7 @@ class Settings:
     seen_buckets: int = 32  # hash buckets of the seen-set table (1000s at 10^10)
     host_salts: int = 4  # default salt fan-out for hot hosts
     round_duration_ms: int = 10_000  # politeness budget discretization window
+    seen_compact_every: int = 16  # fold seen deltas every N rounds
 
     # ---- reference-style flat-key loading (src/settings.rs:103-108) ----
     _KEYMAP = {

@@ -138,6 +138,35 @@ class CrawlStore:
             out = df if out is None else out.unionByName(df)
         return out
 
+    def compact_seen(self) -> None:
+        """Fold all committed seen deltas into the latest round's delta
+        (Iceberg analogue: rewrite_data_files / snapshot expiry).
+
+        Keeps load_seen O(1 read) instead of O(rounds). Crash-safe by
+        ordering: the full union is written to a side dir first, swapped
+        into the latest round, THEN earlier deltas are removed — a crash
+        between swap and removal only leaves duplicate url_hash rows,
+        which are harmless to anti-join membership."""
+        rounds = self.committed_rounds()
+        if len(rounds) < 2:
+            return
+        last = rounds[-1]
+        union = self.load_seen().dropDuplicates(["url_hash"])
+        last_dir = self._round_dir(last)
+        tmp = os.path.join(last_dir, "seen_delta_compact")
+        union.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        old = os.path.join(last_dir, "seen_delta")
+        bak = os.path.join(last_dir, "seen_delta_old")
+        if os.path.isdir(old):
+            os.replace(old, bak)
+        os.replace(tmp, old)
+        shutil.rmtree(bak, ignore_errors=True)
+        for r in rounds[:-1]:
+            shutil.rmtree(
+                os.path.join(self._round_dir(r), "seen_delta"),
+                ignore_errors=True,
+            )
+
     def load_host_served(self, rnd: int) -> DataFrame:
         p = os.path.join(self._round_dir(rnd), "host_served")
         if not os.path.isdir(p):
