@@ -47,7 +47,10 @@ def _crawl_once(spark, pages_n: int) -> dict:
     store = tempfile.mkdtemp(prefix="bench_store_")
     try:
         pages = mock_site_pages(
-            spark, page_count=pages_n, links_per_page=CRAWL_LINKS
+            spark,
+            page_count=pages_n,
+            links_per_page=CRAWL_LINKS,
+            golden_text=False,
         )
         # pre-materialize the web (input, not part of crawl timing)
         pages = pages.localCheckpoint(eager=True)
@@ -61,9 +64,21 @@ def _crawl_once(spark, pages_n: int) -> dict:
         # BFS level — a single seed would take N/links rounds. Seed every
         # 2·links-th page (a crawl restart list, like a real recrawl) so
         # the frontier is wide and the whole site is covered in ~4 rounds.
-        seeds = [
-            f"http://mocksite.test/{i}" for i in range(0, pages_n, 2 * CRAWL_LINKS)
-        ]
+        # seeds as a DISTRIBUTED DataFrame — a python list of 10^5 seeds
+        # would serialize through py4j on the driver
+        import pyspark.sql.functions as F
+
+        seeds = (
+            spark.range(0, pages_n, 2 * CRAWL_LINKS)
+            .select(
+                F.concat(
+                    F.lit("http://mocksite.test/"), F.col("id").cast("string")
+                ).alias("url"),
+                F.col("id").alias("discovery_seq"),
+            )
+            .withColumn("priority", F.lit(0))
+            .withColumn("depth", F.lit(0))
+        )
         t0 = time.time()
         stats = eng.run(seeds)
         dt = time.time() - t0
@@ -79,14 +94,23 @@ def _crawl_once(spark, pages_n: int) -> dict:
         shutil.rmtree(store, ignore_errors=True)
 
 
-def run_crawl(master: str, pages_n: int) -> dict:
+def run_crawl(master: str, pages_n: int, pin_cpus: int | None = None) -> dict:
     """Fresh-subprocess crawl measurement: a new JVM per configuration
     plus an untimed warmup crawl, so JIT/codegen warmth doesn't favor
-    whichever configuration happens to run second."""
+    whichever configuration happens to run second.
+
+    pin_cpus pins the WHOLE process tree (JVM task threads, Python UDF
+    workers, GC, driver) to that many cores with taskset — local[N]
+    alone only caps task slots, and the overflow (Python workers run in
+    separate processes) otherwise inflates small-N throughput, corrupting
+    scaling-efficiency measurements."""
     import subprocess
 
+    cmd = [sys.executable, os.path.abspath(__file__), "--crawl", master, str(pages_n)]
+    if pin_cpus is not None:
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--crawl", master, str(pages_n)],
+        cmd,
         capture_output=True,
         text=True,
         timeout=3600,
@@ -136,14 +160,25 @@ def main() -> None:
     result["metric"] = "crawl_urls_per_sec"
     result["value"] = crawl["urls_per_sec"]
 
-    # ---- scaling evidence (opt-in: full extra crawl at local[8]) ----
+    # ---- scaling evidence (opt-in; north rule: N vs 4N cores) ----
+    # measured at ≥1M pages where parallel work dominates the per-round
+    # serial floor. Both configurations are taskset-pinned so "N cores"
+    # is literal; N=2 vs 4N=8 by default, below the single-JVM local-mode
+    # contention knee (~8-16 slots; a real multi-executor cluster does
+    # not share one scheduler/block manager — see BASELINE.md).
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        c8 = run_crawl("local[8]", CRAWL_PAGES)
-        eff = round((crawl["urls_per_sec"] / c8["urls_per_sec"]) / 4.0, 3)
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        pages = max(CRAWL_PAGES, 1_000_000)
+        c_small = run_crawl(f"local[{n}]", pages, pin_cpus=n)
+        c_big = run_crawl(f"local[{4 * n}]", pages, pin_cpus=4 * n)
+        eff = round(
+            (c_big["urls_per_sec"] / c_small["urls_per_sec"]) / 4.0, 3
+        )
         result["scaling"] = {
-            "throughput_at_8": c8["urls_per_sec"],
-            "throughput_at_32": crawl["urls_per_sec"],
-            "efficiency_8_to_32": eff,
+            "pages": pages,
+            f"throughput_at_{n}": c_small["urls_per_sec"],
+            f"throughput_at_{4 * n}": c_big["urls_per_sec"],
+            "efficiency_n_to_4n": eff,
         }
 
     print(json.dumps(result))

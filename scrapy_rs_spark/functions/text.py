@@ -26,7 +26,7 @@ from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _SKIP_TAGS = {"script", "style"}
 
@@ -107,3 +107,66 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @pandas_udf(ArrayType(StringType()))
 def extract_links_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_links)
+
+
+class _PageExtractor(HTMLParser):
+    """One pass for BOTH text and links — the engine's parse stage uses
+    this so each page's HTML is parsed once, not twice."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self.links: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag == "a":
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.links.append(value)
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            stripped = data.strip()
+            if stripped:
+                self.chunks.append(stripped)
+
+
+def parse_page(html: bytes | str | None) -> tuple[str | None, list[str]]:
+    """Pinned single-pass parse: (text, links). Byte-identical to
+    extract_text/extract_links (same parser callbacks, same order)."""
+    if html is None:
+        return None, []
+    if isinstance(html, (bytes, bytearray)):
+        try:
+            html = bytes(html).decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return None, []
+    p = _PageExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return None, []
+    return "\n".join(p.chunks), p.links
+
+
+@pandas_udf(
+    StructType(
+        [
+            StructField("text", StringType()),
+            StructField("links", ArrayType(StringType())),
+        ]
+    )
+)
+def parse_page_udf(html: pd.Series) -> pd.DataFrame:
+    parsed = html.map(parse_page)
+    return pd.DataFrame(
+        {"text": parsed.map(lambda t: t[0]), "links": parsed.map(lambda t: t[1])}
+    )

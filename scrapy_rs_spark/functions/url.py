@@ -131,11 +131,37 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize)
 
 
+# fast-path detector for hrefs where urljoin+canonicalize reduces to
+# origin+href: absolute path, only chars canonicalize leaves untouched,
+# no percent-escapes, no dot segments, no query/fragment. Everything
+# else falls back to the exact python path.
+_FAST_HREF = re.compile(r"^/[A-Za-z0-9_\-./~!$&'()*+,;=:@]*$")
+_DOT_SEG = re.compile(r"/\.\.?(?:/|$)")
+_ORIGIN = re.compile(r"^(https?://[^/?#]+)")
+
+
 @pandas_udf(StringType())
 def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
-    return pd.Series(
-        [resolve(b, h) for b, h in zip(base, href)], dtype="object"
+    """Vectorized resolve: the dominant case on a real crawl (plain
+    absolute-path hrefs against an already-canonical base) is a string
+    concat done in pandas; anything unusual (relative paths, dot
+    segments, %-escapes, queries, other schemes) takes the exact
+    urljoin+canonicalize path. Output is byte-identical either way
+    (tests/test_url_kernel.py cross-checks the two paths)."""
+    href_s = href.astype("object")
+    base_s = base.astype("object")
+    fast = (
+        href_s.str.match(_FAST_HREF, na=False)
+        & ~href_s.str.contains(_DOT_SEG, na=True)
+        & ~href_s.str.contains("//", regex=False, na=True)
     )
+    origin = base_s.str.extract(_ORIGIN, expand=False)
+    fast &= origin.notna()
+    out = pd.Series([None] * len(href_s), dtype="object", index=href_s.index)
+    out[fast] = origin[fast] + href_s[fast]
+    for i in out.index[~fast]:
+        out[i] = resolve(base_s[i], href_s[i])
+    return out
 
 
 def url_hash_expr(url_canon: Column | str, method: Column | str) -> Column:

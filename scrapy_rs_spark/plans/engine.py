@@ -32,7 +32,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from scrapy_rs_spark.functions.text import extract_links_udf, extract_text_udf
+from scrapy_rs_spark.functions.text import (
+    extract_links_udf,
+    extract_text_udf,
+    parse_page_udf,
+)
 from scrapy_rs_spark.functions.url import urljoin_udf, url_hash_expr
 from scrapy_rs_spark.operators.dedup import anti_join_seen, dedup_in_batch
 from scrapy_rs_spark.operators.fetch import (
@@ -116,6 +120,7 @@ class CrawlEngine:
         # X1: user parse hooks (Arrow pandas UDFs); defaults = pinned
         # extractors. X2-X4: ordered transform chains
         # (operators/middleware.MiddlewareChain or any DataFrame→DataFrame)
+        self._default_parse = parse_text_udf is None and parse_links_udf is None
         self.parse_text_udf = parse_text_udf or extract_text_udf
         self.parse_links_udf = parse_links_udf or extract_links_udf
         self.request_middlewares = request_middlewares
@@ -160,6 +165,16 @@ class CrawlEngine:
         served: DataFrame | None,
         pages_served_total: int,
     ) -> dict:
+        import time as _time
+
+        _prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+        _t0 = _time.time()
+        _marks = []
+
+        def _mark(label):
+            if _prof:
+                _marks.append((label, round(_time.time() - _t0, 2)))
+
         s = self.settings
         order = frontier_order(s.scheduler_type, s.crawl_strategy)
 
@@ -204,6 +219,7 @@ class CrawlEngine:
         if self.request_middlewares is not None:
             batch = self.request_middlewares(batch)  # X2
         batch = batch.localCheckpoint(eager=True)  # reused 5× below
+        _mark("rank+batch")
 
         # rows that were politeness-deferred or over page_limit stay queued
         leftover = ready.join(
@@ -252,26 +268,53 @@ class CrawlEngine:
         n_redirect = crow["red"] or 0
         n_retry_in = crow["rty"] or 0
         n_error = crow["err"] or 0
+        _mark("fetch+route")
 
         # ---- parse (X1): items + links, one pandas-UDF pass ----
-        success = routes["success"]
-        items = success.select(
-            F.col("url"),
-            F.lit("extracted_text").alias("item_type"),
-            self.parse_text_udf(F.col("html")).alias("text"),
-            F.lit(rnd).alias("rnd"),
+        # AQE coalesces the fetch-join output by SIZE (html bytes), which
+        # can serialize the Python parse stage onto 1-2 tasks; the parse
+        # cost is per-row CPU, so spread it across all cores explicitly
+        success = routes["success"].repartition(
+            self.spark.sparkContext.defaultParallelism
         )
-        if self.item_pipelines is not None:
-            items = self.item_pipelines(items)  # X4
-        links = (
-            success.select(
+        if self._default_parse:
+            # single-pass parse: text+links in ONE UDF over each page,
+            # materialized once (html dropped immediately after) — both
+            # the items write and the link expansion read the result
+            parsed = success.select(
+                "url",
+                "url_canon",
+                "depth",
+                parse_page_udf(F.col("html")).alias("p"),
+            ).localCheckpoint(eager=True)
+            items = parsed.select(
+                F.col("url"),
+                F.lit("extracted_text").alias("item_type"),
+                F.col("p.text").alias("text"),
+                F.lit(rnd).alias("rnd"),
+            )
+            raw_links = parsed.select(
+                F.col("url_canon").alias("base"),
+                F.col("depth").alias("parent_depth"),
+                F.explode(F.col("p.links")).alias("href"),
+            )
+        else:
+            items = success.select(
+                F.col("url"),
+                F.lit("extracted_text").alias("item_type"),
+                self.parse_text_udf(F.col("html")).alias("text"),
+                F.lit(rnd).alias("rnd"),
+            )
+            raw_links = success.select(
                 F.col("url_canon").alias("base"),
                 F.col("depth").alias("parent_depth"),
                 F.explode(self.parse_links_udf(F.col("html"))).alias("href"),
             )
-            .withColumn("url", urljoin_udf(F.col("base"), F.col("href")))
-            .filter(F.col("url").isNotNull())
-        )
+        if self.item_pipelines is not None:
+            items = self.item_pipelines(items)  # X4
+        links = raw_links.withColumn(
+            "url", urljoin_udf(F.col("base"), F.col("href"))
+        ).filter(F.col("url").isNotNull())
         candidates = (
             links.select(
                 F.col("url"),
@@ -294,8 +337,9 @@ class CrawlEngine:
         )
 
         # redirects re-enter at the same depth (response.rs:126-142);
-        # hop count rides in meta, bounded by max_redirects
-        redirs = routes["redirect"].select(
+        # hop count rides in meta, bounded by max_redirects. The whole
+        # chain (UDF + union) is skipped when the round saw none.
+        redirs = None if n_redirect == 0 else routes["redirect"].select(
             urljoin_udf(
                 F.col("url_canon"), F.element_at(F.col("headers"), "location")
             ).alias("url"),
@@ -309,7 +353,7 @@ class CrawlEngine:
                 + 1
             ).alias("hops"),
         )
-        redirs = (
+        redirs = None if redirs is None else (
             redirs.filter(
                 F.col("url").isNotNull()
                 & (F.col("hops") <= F.lit(s.max_redirects))
@@ -318,6 +362,7 @@ class CrawlEngine:
                 "url",
                 F.col("url").alias("url_canon"),
                 "depth",
+                "hops",
             )
             .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
             .withColumn(
@@ -330,11 +375,19 @@ class CrawlEngine:
             .withColumn("retry_count", F.lit(0))
             .withColumn("dont_filter", F.lit(False))
             .withColumn("retry_not_before_round", F.lit(0))
-            .withColumn("meta", F.lit(None).cast("map<string,string>"))
+            # hop count must survive into the new row's meta or
+            # max_redirects can never bound a multi-hop chain
+            .withColumn(
+                "meta",
+                F.map_from_arrays(
+                    F.array(F.lit("redirect_hops")),
+                    F.array(F.col("hops").cast("string")),
+                ),
+            )
         )
-        candidates = candidates.select(*FRONTIER_COLS).unionByName(
-            redirs.select(*FRONTIER_COLS)
-        )
+        candidates = candidates.select(*FRONTIER_COLS)
+        if redirs is not None:
+            candidates = candidates.unionByName(redirs.select(*FRONTIER_COLS))
 
         # ---- enqueue: filters → in-batch dedup → seen anti-join (F1-F4, J1) ----
         candidates = apply_enqueue_filters(candidates, s)
@@ -345,16 +398,22 @@ class CrawlEngine:
         # and the frontier commit; without this the parse-UDF chain would
         # recompute 3-4× per round
         candidates = candidates.localCheckpoint(eager=True)
+        _mark("parse+enqueue")
 
-        # ---- retries (J5/X5) ----
-        retries = build_retries(routes["retry"], rnd, s).select(*FRONTIER_COLS)
+        # ---- retries (J5/X5): skipped entirely on clean rounds ----
+        retries = (
+            None
+            if n_retry_in == 0
+            else build_retries(routes["retry"], rnd, s).select(*FRONTIER_COLS)
+        )
 
         next_frontier = (
             gated.select(*FRONTIER_COLS)
             .unionByName(leftover.select(*FRONTIER_COLS))
             .unionByName(candidates)
-            .unionByName(retries)
         )
+        if retries is not None:
+            next_frontier = next_frontier.unionByName(retries)
 
         # ---- commit (S9): seen grows at enqueue time, like the reference ----
         seen_delta = candidates.select("url_hash")
@@ -381,8 +440,9 @@ class CrawlEngine:
             "retries": 0,  # filled below
             "new_urls": 0,  # filled below
         }
-        n_retries_requeued = retries.count()
+        n_retries_requeued = 0 if retries is None else retries.count()
         n_new = candidates.count()
+        _mark("counts")
         n_exhausted = n_retry_in - n_retries_requeued
         metrics["retries"] = n_retries_requeued
         metrics["errors"] = n_error + n_exhausted
@@ -396,6 +456,10 @@ class CrawlEngine:
             new_served,
             metrics,
         )
+        _mark("commit")
+        if _prof:
+            print(f"[round {rnd}] n={n_batch} " + " ".join(
+                f"{k}={v}s" for k, v in _marks))
         return metrics
 
     # ---- public API (X7 parity: Engine::run → stats) ----

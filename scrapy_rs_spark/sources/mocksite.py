@@ -63,6 +63,7 @@ def mock_site_pages(
     page_count: int = 100,
     links_per_page: int = 10,
     partitions: int | None = None,
+    golden_text: bool = True,
 ) -> DataFrame:
     """Pages table (url, warc_ts, html, text, lang, status, headers)."""
     sid = F.col("id").cast("string")
@@ -102,7 +103,15 @@ def mock_site_pages(
             "warc_ts", F.timestamp_seconds(F.lit(_WARC_EPOCH) + F.col("id"))
         )
         .withColumn("html", html_str.cast("binary"))
-        .withColumn("text", extract_text_udf(F.col("html")))
+        # golden text column (byte-identity oracle) is optional: crawls
+        # never read it (fetch prunes to url/status/html/headers), so
+        # benchmarks skip the generation-time extraction pass
+        .withColumn(
+            "text",
+            extract_text_udf(F.col("html"))
+            if golden_text
+            else F.lit(None).cast("string"),
+        )
         .withColumn("lang", F.lit("en"))
         .withColumn("status", F.lit(200))
         .withColumn(

@@ -92,6 +92,9 @@ class CrawlStore:
                 "bucket",
                 F.pmod(F.col("url_hash"), F.lit(self.seen_buckets)).cast("int"),
             )
+            # cluster rows by bucket before the partitioned write: one
+            # file per bucket instead of (tasks × buckets) small files
+            .repartition(self.seen_buckets, F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(d, "seen_delta"))

@@ -1,0 +1,189 @@
+"""Streaming-native crawl: the continuous analogue of the round loop.
+
+The reference engine is continuous-async (requests flow through
+channels until the scheduler drains, /root/reference/engine/src/lib.rs:519).
+The batch-iterative CrawlEngine is the faithful set-oriented model
+(SURVEY.md §7.0); this module is the Structured Streaming restatement
+for deployments that want a *standing* crawler:
+
+  frontier dir ──readStream──► foreachBatch(round operators) ──┐
+        ▲                                                      │
+        └──────────── new candidates appended ─────────────────┘
+
+Each micro-batch runs the SAME operators as a CrawlEngine round
+(fetch-as-join, parse UDFs, enqueue filters, in-batch dedup, seen
+anti-join) and appends discovered candidates back into the watched
+frontier directory — the stream feeds itself until the frontier
+drains. The seen set lives in a CrawlStore-compatible bucketed parquet
+dir; exactly-once enqueue comes from the anti-join (duplicates across
+micro-batch replays are filtered by seen membership, which is
+idempotent by construction).
+
+Politeness in streaming mode: micro-batch duration is the round
+duration, so per-host budgets discretize the same way (T1).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scrapy_rs_spark.functions.text import extract_links_udf, extract_text_udf
+from scrapy_rs_spark.functions.url import urljoin_udf, url_hash_expr
+from scrapy_rs_spark.operators.dedup import anti_join_seen, dedup_in_batch
+from scrapy_rs_spark.operators.fetch import fetch_join, is_success
+from scrapy_rs_spark.operators.scheduler import apply_enqueue_filters
+from scrapy_rs_spark.schemas import FRONTIER_DDL
+from scrapy_rs_spark.settings import Settings
+from scrapy_rs_spark.sources.seeds import seeds_frontier
+
+FRONTIER_COLS = [
+    "url", "url_canon", "url_hash", "host", "method", "priority", "depth",
+    "discovery_round", "discovery_seq", "retry_count", "dont_filter",
+    "retry_not_before_round", "meta",
+]
+
+
+class StreamingCrawl:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        root: str,
+        settings: Settings | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.settings = settings or Settings()
+        self.root = root
+        self.frontier_dir = os.path.join(root, "frontier_stream")
+        self.seen_dir = os.path.join(root, "seen")
+        self.items_dir = os.path.join(root, "items")
+        self.checkpoint_dir = os.path.join(root, "checkpoint")
+        os.makedirs(self.frontier_dir, exist_ok=True)
+
+    def _load_seen(self) -> DataFrame:
+        if os.path.isdir(self.seen_dir) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(self.seen_dir)
+            for f in fs
+        ):
+            return self.spark.read.schema("url_hash BIGINT").parquet(
+                self.seen_dir
+            )
+        return self.spark.createDataFrame([], "url_hash BIGINT")
+
+    def seed(self, urls: list[str]) -> None:
+        df = seeds_frontier(self.spark, urls)
+        df = apply_enqueue_filters(df, self.settings)
+        df = dedup_in_batch(df)
+        df.select(*FRONTIER_COLS).write.mode("append").parquet(
+            self.frontier_dir
+        )
+        df.select("url_hash").write.mode("append").parquet(self.seen_dir)
+
+    # ---- one micro-batch = one crawl round over new frontier files ----
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        s = self.settings
+        if batch.isEmpty():
+            return
+        fetched = fetch_join(batch, self.pages).localCheckpoint(eager=True)
+        success = fetched.filter(is_success(F.col("status"))).repartition(
+            self.spark.sparkContext.defaultParallelism
+        )
+        items = success.select(
+            "url",
+            F.lit("extracted_text").alias("item_type"),
+            extract_text_udf(F.col("html")).alias("text"),
+            F.lit(int(batch_id)).alias("rnd"),
+        )
+        items.write.mode("append").parquet(self.items_dir)
+
+        links = (
+            success.select(
+                F.col("url_canon").alias("base"),
+                F.col("depth").alias("parent_depth"),
+                F.explode(extract_links_udf(F.col("html"))).alias("href"),
+            )
+            .withColumn("url", urljoin_udf(F.col("base"), F.col("href")))
+            .filter(F.col("url").isNotNull())
+        )
+        candidates = (
+            links.select(
+                "url",
+                F.col("url").alias("url_canon"),
+                (F.col("parent_depth") + 1).cast("int").alias("depth"),
+            )
+            .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
+            .withColumn(
+                "url_hash", url_hash_expr(F.col("url_canon"), F.lit("GET"))
+            )
+            .withColumn("method", F.lit("GET"))
+            .withColumn("priority", F.lit(0))
+            .withColumn("discovery_round", F.lit(int(batch_id) + 1))
+            .withColumn("discovery_seq", F.lit(0).cast("long"))
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("dont_filter", F.lit(False))
+            .withColumn("retry_not_before_round", F.lit(0))
+            .withColumn("meta", F.lit(None).cast("map<string,string>"))
+        )
+        candidates = apply_enqueue_filters(candidates, s)
+        candidates = dedup_in_batch(candidates)
+        candidates = anti_join_seen(candidates, self._load_seen()).select(
+            *FRONTIER_COLS
+        )
+        candidates = candidates.localCheckpoint(eager=True)
+        if not candidates.isEmpty():
+            # feed the stream: new frontier files are the next micro-batch
+            candidates.write.mode("append").parquet(self.frontier_dir)
+            candidates.select("url_hash").write.mode("append").parquet(
+                self.seen_dir
+            )
+
+    def run(
+        self,
+        seeds: list[str],
+        timeout_s: float = 300.0,
+        idle_stop_s: float = 15.0,
+    ) -> DataFrame:
+        """Seed, stream until the self-feeding frontier drains, return
+        items. availableNow-style semantics with a standing query: stop
+        once no batch has made progress for idle_stop_s."""
+        self.seed(seeds)
+        stream = (
+            self.spark.readStream.schema(FRONTIER_DDL)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(self.frontier_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        t0 = time.time()
+        last_progress = time.time()
+        last_batches = -1
+        try:
+            while time.time() - t0 < timeout_s:
+                time.sleep(1.0)
+                p = q.lastProgress
+                if p is not None:
+                    n = p["numInputRows"]
+                    if n and n > 0:
+                        last_progress = time.time()
+                    if p["batchId"] != last_batches:
+                        last_batches = p["batchId"]
+                if time.time() - last_progress > idle_stop_s:
+                    break
+        finally:
+            q.stop()
+        return self.items()
+
+    def items(self) -> DataFrame:
+        return self.spark.read.schema(
+            "url STRING, item_type STRING, text STRING, rnd INT"
+        ).parquet(self.items_dir)
