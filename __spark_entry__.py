@@ -314,6 +314,16 @@ def _q_url_canonicalize(spark, sf_dir):
     )
 
 
+def _q_json_extract(spark, sf_dir):
+    """C5: body→json parsing (get_json_object over the events.props
+    JSON column; reference serde_json::from_str, response.rs:81-84)."""
+    ev = _load(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+    ).filter(F.col("k") > 50)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from scrapy_rs_spark.operators.textdedup import exact_dedup
 
@@ -504,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_metrics": _q_rate_metrics,
         "fifo_order": _q_fifo_order,
         "url_canonicalize": _q_url_canonicalize,
+        "json_extract": _q_json_extract,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_pairs": _q_lsh_pairs,
@@ -615,6 +626,9 @@ SELECT 'HTTP://Host' || CAST(host_num AS STRING) || '.TEST:80/Page/'
        'http://host' || CAST(host_num AS STRING) || '.test/Page/'
          || CAST(seq AS STRING) AS canon
 FROM frontier WHERE seq % 11 = 0""",
+        "json_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
 FROM documents GROUP BY 1""",

@@ -112,6 +112,7 @@ class CrawlEngine:
         request_middlewares=None,
         response_middlewares=None,
         item_pipelines=None,
+        signals=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -126,6 +127,7 @@ class CrawlEngine:
         self.request_middlewares = request_middlewares
         self.response_middlewares = response_middlewares
         self.item_pipelines = item_pipelines
+        self.signals = signals  # plans.signals.SignalManager (X6)
         self.store = CrawlStore(
             spark,
             store_path or tempfile.mkdtemp(prefix="crawlstore_"),
@@ -504,6 +506,10 @@ class CrawlEngine:
         last = self.store.latest_round()
         if last is None:
             raise RuntimeError("nothing to resume: no committed rounds")
+        if self.signals is not None:
+            from scrapy_rs_spark.plans.signals import ENGINE_STARTED
+
+            self.signals.send(ENGINE_STARTED, {"resume_from": last})
         frontier = self.store.load_frontier(last)
         served = self.store.load_host_served(last) if last > 0 else None
         pages_served = stats.requests
@@ -519,6 +525,8 @@ class CrawlEngine:
             committed = rnd + 1
             m = self._run_round(committed, frontier, served, pages_served)
             stats.record(m)
+            if self.signals is not None:
+                self.signals.emit_round(m)
             pages_served += m["requests"]
             frontier = self.store.load_frontier(committed)
             if self.settings.max_requests_per_domain is not None:
@@ -537,6 +545,14 @@ class CrawlEngine:
                 ).collect()[0][0]
                 if min_gate is not None and min_gate > rnd + 1:
                     rnd = min_gate - 1
+        if self.signals is not None:
+            from scrapy_rs_spark.plans.signals import ENGINE_STOPPED
+
+            self.signals.send(
+                ENGINE_STOPPED,
+                {"requests": stats.requests, "items": stats.items,
+                 "errors": stats.errors, "rounds": stats.rounds},
+            )
         return stats
 
     # convenience accessors

@@ -191,6 +191,24 @@ class CrawlStore:
             "url STRING, item_type STRING, text STRING, rnd INT"
         ).parquet(*paths)
 
+    def metrics_df(self) -> DataFrame:
+        """crawl_metrics as a DataFrame (A1/A4): per-round counters for
+        rate queries — (count - lag(count))/Δround etc."""
+        rows = self.load_metrics()
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "round INT, requests BIGINT, responses BIGINT,"
+                " items BIGINT, errors BIGINT, retries BIGINT,"
+                " new_urls BIGINT"
+            )
+        cols = ["round", "requests", "responses", "items", "errors",
+                "retries", "new_urls"]
+        return self.spark.createDataFrame(
+            [tuple(m.get(c, 0) for c in cols) for m in rows],
+            "round INT, requests BIGINT, responses BIGINT, items BIGINT,"
+            " errors BIGINT, retries BIGINT, new_urls BIGINT",
+        )
+
     def load_metrics(self) -> list[dict]:
         out = []
         for r in self.committed_rounds():
