@@ -133,6 +133,15 @@ class CrawlEngine:
             store_path or tempfile.mkdtemp(prefix="crawlstore_"),
             seen_buckets=self.settings.seen_buckets,
         )
+        self.bloom = None
+        if self.settings.use_bloom_sidecar:
+            from scrapy_rs_spark.sources.bloom import BloomSidecar
+
+            self.bloom = BloomSidecar(
+                os.path.join(self.store.root, "bloom"),
+                n_buckets=self.settings.seen_buckets,
+                bits_per_bucket=self.settings.bloom_bits_per_bucket,
+            )
 
     # ---- per-host budget for a round (politeness T1 + per-domain cap F6) ----
     def _host_budget_col(self, served: DataFrame | None):
@@ -395,7 +404,9 @@ class CrawlEngine:
         candidates = apply_enqueue_filters(candidates, s)
         candidates = dedup_in_batch(candidates)
         seen = self.store.load_seen()
-        candidates = anti_join_seen(candidates, seen).select(*FRONTIER_COLS)
+        candidates = anti_join_seen(
+            candidates, seen, bloom=self.bloom
+        ).select(*FRONTIER_COLS)
         # one materialization — candidates feed the count, the seen delta,
         # and the frontier commit; without this the parse-UDF chain would
         # recompute 3-4× per round
@@ -458,6 +469,20 @@ class CrawlEngine:
             new_served,
             metrics,
         )
+        if self.bloom is not None and metrics["new_urls"]:
+            # sidecar built AFTER the exact commit: a crash can leave the
+            # bloom lagging (extra anti-join probes) but never ahead
+            # (which could wrongly mark URLs maybe-seen before they are)
+            self.bloom.update_from(
+                candidates.select(
+                    "url_hash",
+                    F.pmod(
+                        F.col("url_hash"), F.lit(self.settings.seen_buckets)
+                    )
+                    .cast("int")
+                    .alias("bucket"),
+                )
+            )
         _mark("commit")
         if _prof:
             print(f"[round {rnd}] n={n_batch} " + " ".join(
@@ -487,7 +512,7 @@ class CrawlEngine:
             None,
             None,
             {
-                "round": 0,
+                "round": 0,  # seeds are marked seen at enqueue (bloom below)
                 "requests": 0,
                 "responses": 0,
                 "items": 0,
@@ -496,6 +521,17 @@ class CrawlEngine:
                 "new_urls": frontier0.count(),
             },
         )
+        if self.bloom is not None:
+            self.bloom.update_from(
+                frontier0.select(
+                    "url_hash",
+                    F.pmod(
+                        F.col("url_hash"), F.lit(s.seen_buckets)
+                    )
+                    .cast("int")
+                    .alias("bucket"),
+                )
+            )
         return self.resume(max_rounds=max_rounds)
 
     def resume(self, max_rounds: int = 1_000) -> CrawlStats:

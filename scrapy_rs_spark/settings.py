@@ -46,6 +46,8 @@ class Settings:
     host_salts: int = 4  # default salt fan-out for hot hosts
     round_duration_ms: int = 10_000  # politeness budget discretization window
     seen_compact_every: int = 16  # fold seen deltas every N rounds
+    use_bloom_sidecar: bool = False  # per-bucket bloom pre-filter (north rule)
+    bloom_bits_per_bucket: int = 1 << 20
 
     # ---- reference-style flat-key loading (src/settings.rs:103-108) ----
     _KEYMAP = {
