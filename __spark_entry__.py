@@ -441,6 +441,27 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_ann_topk(emb, queries, k=5, n_planes=4)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF approximate NN (inverted-list probe) — approximate path, no
+    exact SQL oracle; recall vs brute force measured in tests."""
+    from scrapy_rs_spark.operators.similarity import ivf_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+
+
+def _q_neardup_lsh(spark, sf_dir):
+    """SRP-bucketed near-dup pairs — the scale path for
+    embedding_neardup (approximate; rows-only check)."""
+    from scrapy_rs_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    return lsh_near_dup_pairs(emb, threshold=0.25, n_planes=2)
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """Binary-column plumbing (mapInPandas, stubbed decoder) — no SQL
     oracle (Arrow/mapInPandas path)."""
@@ -527,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "neardup_lsh": _q_neardup_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "crawl_bfs": _q_crawl_bfs,
     }

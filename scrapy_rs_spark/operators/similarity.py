@@ -128,6 +128,135 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine) — the
+    IVF coarse quantizer as a pure column expression.
+
+    Centroids are a driver-side list (k is small); the argmax over k
+    cosines compiles to one codegen'd projection, no shuffle."""
+    best_id, best_score = F.lit(-1), F.lit(-2.0)
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        score = cosine_expr(F.col(vec_col), c)
+        better = score > best_score
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_score = F.when(better, score).otherwise(best_score)
+    return vectors.withColumn("centroid_id", best_id)
+
+
+def deterministic_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the k lowest-id vectors (a real
+    system runs k-means; the IVF *plumbing* — assignment, inverted
+    lists, probe — is identical and that's what scales)."""
+    rows = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed into inverted lists by
+    nearest centroid; each query scores only its n_probe nearest lists.
+    At 10^9 vectors with 4096 lists and n_probe=8 this scans ~0.2% of
+    the corpus per query. Exactness not guaranteed — recall tunable via
+    n_probe (n_probe = n_centroids ≡ brute force)."""
+    cents = deterministic_centroids(vectors, n_centroids, id_col, vec_col)
+    corpus = ivf_assign(vectors, cents, vec_col)
+
+    # per-query probe lists: rank centroids by cosine, keep n_probe
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    probes = None
+    for cid, cvec in cents:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        p = q.select(
+            "query_id",
+            "__qv",
+            F.lit(cid).alias("centroid_id"),
+            cosine_expr(F.col("__qv"), c).alias("__cscore"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cscore").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probes.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n_probe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+
+    scored = corpus.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via SRP bucket self-join — the scale path for
+    cosine_near_dup_pairs (candidates meet only inside a bucket, so the
+    all-pairs blowup never materializes). High-cosine pairs land in the
+    same bucket with probability (1 - θ/π)^planes; misses are the
+    approximation cost."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = srp_planes(dim, n_planes)
+    vb = vectors.withColumn("__bucket", srp_bucket_expr(F.col(vec_col), planes))
+    a = vb.select(
+        F.col("__bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = vb.select(
+        F.col("__bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.8,

@@ -163,3 +163,38 @@ def test_text_analysis(spark, docs):
     assert out[0].n == len(DOC.split(" "))
     assert out[0].fp == out[3].fp  # identical docs → identical fingerprint
     assert out[0].fp != out[2].fp
+
+
+def test_ivf_ann(spark, vecs):
+    from scrapy_rs_spark.operators.similarity import ivf_ann_topk
+
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # n_probe = n_centroids ≡ brute force: must return the exact top-3
+    out = ivf_ann_topk(
+        vecs, q, k=3, n_centroids=3, n_probe=3
+    ).orderBy("rank").collect()
+    exact = brute_force_topk(vecs, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [r.neighbor_id for r in exact]
+    # fewer probes = subset of the corpus scanned, self still found
+    out1 = ivf_ann_topk(vecs, q, k=3, n_centroids=3, n_probe=1).collect()
+    assert 0 in {r.neighbor_id for r in out1}
+
+
+def test_lsh_near_dup_pairs(spark, vecs):
+    from scrapy_rs_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    # LSH pairs ⊆ exact pairs (bucket join can only MISS, never invent)
+    exact = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(vecs, 0.9).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(vecs, 0.9, n_planes=1, dim=4).collect()
+    }
+    assert lsh <= exact
+    # with 1 plane, the (0,1) near-dup pair (cos≈0.99) collides w.h.p.
+    # for this fixture's deterministic planes
+    assert (0, 1) in lsh

@@ -50,7 +50,12 @@ def test_contract_shape():
     # every oracle key has a query; non-oracle queries are the known
     # approximate/Arrow-only ops
     assert set(oracles) <= set(qs)
-    assert set(qs) - set(oracles) == {"ann_lsh", "multimodal_decode"}
+    assert set(qs) - set(oracles) == {
+        "ann_lsh",
+        "ann_ivf",
+        "neardup_lsh",
+        "multimodal_decode",
+    }
 
 
 @pytest.mark.parametrize("name", SPOT)
