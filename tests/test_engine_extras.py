@@ -100,3 +100,33 @@ def test_fetch_plan_prunes_pages_columns(spark, tmp_path):
     for col in ("text", "lang", "warc_ts"):
         assert col not in scan, f"{col} not pruned from pages scan: {scan}"
     assert "html" in scan and "PushedFilters: [IsNotNull(url)]" in scan
+
+
+def test_session_scale_configs(spark):
+    """The session factory must keep the scale levers on (AQE, skew
+    join, Arrow) — regressions here silently serialize at 100 TB."""
+    c = spark.conf
+    assert c.get("spark.sql.adaptive.enabled") == "true"
+    assert c.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert c.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert c.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_priority_order_with_page_limit(spark, tmp_path):
+    """W1 at engine level: under a page_limit the batch takes the
+    highest-priority rows first (the reference pops priority order)."""
+    pages = mock_site_pages(spark, 30, 5, partitions=2).localCheckpoint(True)
+    eng = CrawlEngine(
+        spark,
+        pages,
+        Settings(scheduler_type="memory", crawl_strategy="priority", page_limit=2),
+        store_path=str(tmp_path / "prio"),
+    )
+    seeds = [
+        (f"{BASE_URL}/3", 1, 0),
+        (f"{BASE_URL}/7", 9, 0),  # highest priority
+        (f"{BASE_URL}/11", 5, 0),
+    ]
+    eng.run(seeds)
+    got = {r.url for r in eng.items().select("url").collect()}
+    assert got == {f"{BASE_URL}/7", f"{BASE_URL}/11"}  # top-2 by priority
