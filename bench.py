@@ -94,6 +94,51 @@ def _crawl_once(spark, pages_n: int) -> dict:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def _crawl_polite_once(spark, pages_n: int, n_hosts: int = 100) -> dict:
+    """Politeness-enabled multi-host crawl: per-host budgets via the
+    salted two-phase rank (the headline crawl's fast path skips it, so
+    this benches the W2/J4/T1 machinery explicitly)."""
+    from scrapy_rs_spark.plans.engine import CrawlEngine
+    from scrapy_rs_spark.settings import Settings
+    from scrapy_rs_spark.sources.mocksite import mock_multihost_pages
+
+    store = tempfile.mkdtemp(prefix="bench_polite_")
+    try:
+        pages = mock_multihost_pages(
+            spark, pages_n, n_hosts=n_hosts, links_per_page=CRAWL_LINKS,
+            golden_text=False,
+        ).localCheckpoint(eager=True)
+        eng = CrawlEngine(
+            spark,
+            pages,
+            Settings(
+                scheduler_type="domain_group",
+                domain_delay_ms=100,
+                round_duration_ms=10_000,  # budget: 100/host/round
+            ),
+            store_path=store,
+        )
+        # spread seeds across the page space (a contiguous block would
+        # only advance links_per_page pages per round in this graph)
+        seeds = [
+            f"http://host{i % n_hosts}.test/{i}"
+            for i in range(0, pages_n, 2 * CRAWL_LINKS)
+        ]
+        t0 = time.time()
+        stats = eng.run(seeds)
+        dt = time.time() - t0
+        return {
+            "pages": pages_n,
+            "hosts": n_hosts,
+            "urls": stats.requests,
+            "rounds": stats.rounds,
+            "seconds": round(dt, 2),
+            "urls_per_sec": round(stats.requests / dt, 1),
+        }
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def run_crawl(master: str, pages_n: int, pin_cpus: int | None = None) -> dict:
     """Fresh-subprocess crawl measurement: a new JVM per configuration
     plus an untimed warmup crawl, so JIT/codegen warmth doesn't favor
@@ -159,6 +204,17 @@ def main() -> None:
     result["crawl"] = crawl
     result["metric"] = "crawl_urls_per_sec"
     result["value"] = crawl["urls_per_sec"]
+
+    # ---- politeness-path crawl (two-phase salted per-host ranking) ----
+    spark = build_session(
+        app_name="bench_polite", master=f"local[{CPUS}]"
+    )
+    try:
+        result["crawl_polite"] = _crawl_polite_once(
+            spark, max(5000, CRAWL_PAGES // 4)
+        )
+    finally:
+        spark.stop()
 
     # ---- scaling evidence (opt-in; north rule: N vs 4N cores) ----
     # measured at ≥1M pages where parallel work dominates the per-round

@@ -135,7 +135,10 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
 # origin+href: absolute path, only chars canonicalize leaves untouched,
 # no percent-escapes, no dot segments, no query/fragment. Everything
 # else falls back to the exact python path.
-_FAST_HREF = re.compile(r"^/[A-Za-z0-9_\-./~!$&'()*+,;=:@]*$")
+# ';' is excluded: urllib's urljoin treats it as legacy params syntax
+# (a trailing ';' is dropped), so ';' hrefs must take the exact path to
+# stay byte-identical with resolve() (hypothesis-found corner)
+_FAST_HREF = re.compile(r"^/[A-Za-z0-9_\-./~!$&'()*+,=:@]*$")
 _DOT_SEG = re.compile(r"/\.\.?(?:/|$)")
 _ORIGIN = re.compile(r"^(https?://[^/?#]+)")
 

@@ -123,6 +123,80 @@ def mock_site_pages(
     return df
 
 
+def mock_multihost_pages(
+    spark: SparkSession,
+    page_count: int = 100,
+    n_hosts: int = 10,
+    links_per_page: int = 10,
+    partitions: int | None = None,
+    golden_text: bool = True,
+) -> DataFrame:
+    """Multi-host variant of the mock web: page i lives at
+    http://host{i % n_hosts}.test/{i} and links to (i+k+1) % N (same
+    closed-form graph, so targets hop across hosts). Exercises
+    per-domain scheduling fairness / politeness budgets / hot-host
+    salting across many domains — the shape a Common-Crawl frontier
+    actually has. Same byte-exact HTML body as mock_site_pages except
+    links are absolute (cross-host hrefs must carry the host)."""
+    sid = F.col("id").cast("string")
+
+    def _lit_seg(fmt: str) -> list:
+        head, *rest = fmt.split("{id}")
+        out = [F.lit(head)]
+        for seg in rest:
+            out += [sid, F.lit(seg)]
+        return out
+
+    head_fmt = _HTML_HEAD.replace("{n}", str(page_count))
+    target = lambda k: F.pmod(F.col("id") + k + 1, F.lit(page_count))  # noqa: E731
+    url_of = lambda t: F.concat(  # noqa: E731
+        F.lit("http://host"),
+        F.pmod(t, F.lit(n_hosts)).cast("string"),
+        F.lit(".test/"),
+        t.cast("string"),
+    )
+    link_item = lambda t: F.concat(  # noqa: E731
+        F.lit('        <li><a href="'),
+        url_of(t),
+        F.lit('">Link to Page '),
+        t.cast("string"),
+        F.lit("</a></li>\n"),
+    )
+    links_col = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(links_per_page - 1)),
+            lambda k: link_item(target(k)),
+        ),
+        "",
+    )
+    html_str = F.concat(*_lit_seg(head_fmt), links_col, F.lit(_HTML_TAIL))
+    if partitions is None:
+        partitions = max(
+            spark.sparkContext.defaultParallelism, page_count // 50_000
+        )
+    return (
+        spark.range(0, page_count, 1, partitions)
+        .withColumn("url", url_of(F.col("id")))
+        .withColumn(
+            "warc_ts", F.timestamp_seconds(F.lit(_WARC_EPOCH) + F.col("id"))
+        )
+        .withColumn("html", html_str.cast("binary"))
+        .withColumn(
+            "text",
+            extract_text_udf(F.col("html"))
+            if golden_text
+            else F.lit(None).cast("string"),
+        )
+        .withColumn("lang", F.lit("en"))
+        .withColumn("status", F.lit(200))
+        .withColumn(
+            "headers",
+            F.create_map(F.lit("content-type"), F.lit("text/html")),
+        )
+        .drop("id")
+    )
+
+
 def mock_site_robots(
     spark: SparkSession, failure_mode: bool = False
 ) -> DataFrame:
