@@ -100,6 +100,26 @@ def _words_cte_duck(src: str = "documents") -> str:
     )
 
 
+# exact cosine top-k oracle — shared by cosine_topk and the two exact
+# anchors of the approximate-ANN family (full-probe IVF, 0-plane LSH),
+# which are provably brute-force-equivalent at those parameters.
+_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  round(round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]),
+                      CAST(q.qv AS DOUBLE[])), 6), 4) AS score,
+                  round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]),
+                      CAST(q.qv AS DOUBLE[])), 6) AS score6
+           FROM embeddings e, q)
+SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score6 DESC, neighbor_id ASC) AS rn FROM scored)
+WHERE rn <= 5"""
+
+
 _SHINGLES_DUCK = """
 shingled AS (
   SELECT doc_id, pos,
@@ -453,18 +473,58 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_ann_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
 
 
+def _q_ann_ivf_fullprobe(spark, sf_dir):
+    """IVF with n_probe = n_centroids scans every inverted list, so the
+    result is provably identical to brute force — the hash-checked
+    exact anchor for the approximate IVF family (shares the
+    cosine_topk oracle)."""
+    from scrapy_rs_spark.operators.similarity import ivf_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_ann_topk(emb, queries, k=5, n_centroids=8, n_probe=8,
+                       kmeans_iters=0)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+def _q_ann_lsh_exact(spark, sf_dir):
+    """SRP-LSH with n_planes = 0 puts every vector in one bucket, so
+    the bucket join degenerates to brute force — the hash-checked
+    exact anchor for the LSH family (shares the cosine_topk oracle)."""
+    from scrapy_rs_spark.operators.similarity import lsh_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_ann_topk(emb, queries, k=5, n_planes=0)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
 def _q_neardup_lsh(spark, sf_dir):
-    """SRP-bucketed near-dup pairs — the scale path for
-    embedding_neardup (approximate; rows-only check)."""
+    """Banded multi-table SRP near-dup pairs — the scale path for
+    embedding_neardup (approximate; rows-only check). 8 bands × 8
+    planes: expected bucket size n/256 per band, candidate volume
+    O(b·n²/2^r) instead of the all-pairs blowup; subset-of-exact and
+    candidate-count bounds are pinned in tests/test_curation_ops.py."""
     from scrapy_rs_spark.operators.similarity import lsh_near_dup_pairs
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    return lsh_near_dup_pairs(emb, threshold=0.25, n_planes=2)
+    return lsh_near_dup_pairs(emb, threshold=0.25, n_bands=8, n_planes=8)
 
 
 def _q_multimodal_decode(spark, sf_dir):
-    """Binary-column plumbing (mapInPandas, stubbed decoder) — no SQL
-    oracle (Arrow/mapInPandas path)."""
+    """Binary-column plumbing (mapInPandas, stubbed decoder). The
+    feature vector is posexploded to (id, dim, value) rows so the
+    driver can canonicalize them, and the deterministic fake feature
+    (chunk sums of payload bytes mod 997) is recomputed byte-exactly
+    by the DuckDB oracle."""
     from scrapy_rs_spark.operators.multimodal import decode_and_featurize
 
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -472,7 +532,10 @@ def _q_multimodal_decode(spark, sf_dir):
         F.col("doc_id").alias("id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
-    return decode_and_featurize(payloads)
+    out = decode_and_featurize(payloads)
+    return out.select(
+        "id", "n_bytes", "modality", F.posexplode("feature").alias("dim", "value")
+    )
 
 
 def _q_crawl_bfs(spark, sf_dir):
@@ -549,6 +612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_fullprobe": _q_ann_ivf_fullprobe,
+        "ann_lsh_exact": _q_ann_lsh_exact,
         "neardup_lsh": _q_neardup_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "crawl_bfs": _q_crawl_bfs,
@@ -677,7 +742,8 @@ bits AS (SELECT doc_id, j, ((wh >> j) & 1) * 2 - 1 AS vote
          FROM hashed, (SELECT unnest(range(0, 32)) AS j)),
 votes AS (SELECT doc_id, j, SUM(vote) AS v FROM bits GROUP BY doc_id, j)
 SELECT doc_id,
-       SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id""",
         "ngram_jaccard": f"""
 WITH {_words_cte_duck()},{_SHINGLES_DUCK},
@@ -733,21 +799,25 @@ FROM documents""",
         "doc_fingerprint": """
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents""",
-        "cosine_topk": """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id < 10),
-scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-                  round(round(list_cosine_similarity(
-                      CAST(e.embedding AS DOUBLE[]),
-                      CAST(q.qv AS DOUBLE[])), 6), 4) AS score,
-                  round(list_cosine_similarity(
-                      CAST(e.embedding AS DOUBLE[]),
-                      CAST(q.qv AS DOUBLE[])), 6) AS score6
-           FROM embeddings e, q)
-SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rank
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY score6 DESC, neighbor_id ASC) AS rn FROM scored)
-WHERE rn <= 5""",
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "ann_ivf_fullprobe": _COSINE_TOPK_SQL,
+        "ann_lsh_exact": _COSINE_TOPK_SQL,
+        "multimodal_decode": """
+WITH base AS (SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n
+              FROM documents),
+bytes AS (SELECT id, n, text, unnest(range(0, n)) AS pos FROM base),
+assigned AS (
+  SELECT id, n,
+         CASE WHEN pos < (n % 8) * (n // 8 + 1)
+              THEN pos // (n // 8 + 1)
+              ELSE (n % 8) + (pos - (n % 8) * (n // 8 + 1))
+                   // greatest(n // 8, 1)
+         END AS dim,
+         ord(substr(text, CAST(pos + 1 AS INT), 1)) AS b
+  FROM bytes)
+SELECT id, n AS n_bytes, 'image' AS modality, CAST(dim AS INT) AS dim,
+       CAST(SUM(b) % 997 AS DOUBLE) AS value
+FROM assigned GROUP BY id, n, dim""",
         "embedding_neardup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

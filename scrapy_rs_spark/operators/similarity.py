@@ -176,6 +176,67 @@ def deterministic_centroids(
     return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeded k-means (Lloyd) for the IVF coarse
+    quantizer, run as DataFrame jobs.
+
+    - init: the k vectors with the lowest xxhash64(id) — a
+      deterministic pseudo-random spread (no wall clock / RNG state,
+      stable under retry).
+    - assign: ivf_assign (one codegen'd projection, no shuffle).
+    - update: posexplode(vec) → groupBy(centroid, dim).avg — one
+      partial-agg shuffle of k×dim cells; the collected result is
+      k×dim scalars (tiny), never the corpus.
+    - empty cluster keeps its previous centroid.
+
+    At 10^9+ vectors fit on a sample (sample_fraction) — the coarse
+    quantizer only needs the density shape, and assignment of the full
+    corpus happens once afterwards in ivf_ann_topk."""
+    fit = vectors
+    if sample_fraction is not None:
+        fit = vectors.sample(fraction=sample_fraction, seed=seed)
+    init_rows = (
+        fit.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)
+    ]
+    for _ in range(n_iters):
+        assigned = ivf_assign(fit, cents, vec_col)
+        cells = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "v")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("mean"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for row in cells:
+            by_cid.setdefault(row["centroid_id"], {})[row["dim"]] = row["mean"]
+        cents = [
+            (
+                cid,
+                [by_cid[cid][d] for d in sorted(by_cid[cid])]
+                if cid in by_cid
+                else vec,
+            )
+            for cid, vec in cents
+        ]
+    return cents
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -185,13 +246,24 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed into inverted lists by
     nearest centroid; each query scores only its n_probe nearest lists.
     At 10^9 vectors with 4096 lists and n_probe=8 this scans ~0.2% of
     the corpus per query. Exactness not guaranteed — recall tunable via
-    n_probe (n_probe = n_centroids ≡ brute force)."""
-    cents = deterministic_centroids(vectors, n_centroids, id_col, vec_col)
+    n_probe (n_probe = n_centroids ≡ brute force regardless of centroid
+    quality). Centroids default to deterministic seeded k-means
+    (kmeans_iters Lloyd passes); pass kmeans_iters=0 for the cheap
+    lowest-hash init, or precomputed ``centroids`` to amortize the fit
+    across query batches."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = kmeans_centroids(
+            vectors, n_centroids, kmeans_iters, id_col, vec_col
+        )
     corpus = ivf_assign(vectors, cents, vec_col)
 
     # per-query probe lists: rank centroids by cosine, keep n_probe
@@ -232,33 +304,83 @@ def ivf_ann_topk(
     )
 
 
+def lsh_band_candidates(
+    vectors: DataFrame,
+    n_bands: int = 8,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded multi-table SRP candidate pairs: b independent hash
+    tables of r planes each; a pair is a candidate iff all r sign bits
+    agree in ANY band (AND within band, OR across bands — classic
+    banded LSH). Collision prob for angle θ is 1-(1-p^r)^b with
+    p = 1-θ/π, so r bounds bucket size (expected n/2^r per band) while
+    b recovers recall. The self-join runs per (band, bucket) key — a
+    pure equi-join shuffle, never all-pairs — and pairs colliding in
+    several bands are deduped BEFORE scoring so each pair's cosine is
+    computed once.
+
+    Returns (id_a, id_b, va, vb) with id_a < id_b."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = srp_planes(dim, n_bands * n_planes, seed=seed)
+    band_buckets = F.array(
+        *[
+            srp_bucket_expr(
+                F.col(vec_col), planes[b * n_planes : (b + 1) * n_planes]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    vb = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(band_buckets).alias("__band", "__bucket"),
+    )
+    a = vb.select(
+        "__band",
+        "__bucket",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = vb.select(
+        "__band",
+        "__bucket",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, ["__band", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+    )
+
+
 def lsh_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.8,
-    n_planes: int = 4,
+    n_bands: int = 8,
+    n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs via SRP bucket self-join — the scale path for
-    cosine_near_dup_pairs (candidates meet only inside a bucket, so the
-    all-pairs blowup never materializes). High-cosine pairs land in the
-    same bucket with probability (1 - θ/π)^planes; misses are the
-    approximation cost."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-    planes = srp_planes(dim, n_planes)
-    vb = vectors.withColumn("__bucket", srp_bucket_expr(F.col(vec_col), planes))
-    a = vb.select(
-        F.col("__bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = vb.select(
-        F.col("__bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    """Near-dup pairs via banded multi-table SRP — the scale path for
+    cosine_near_dup_pairs. At near-dup thresholds (cos ≥ 0.9 → θ ≤ 26°,
+    p ≈ 0.86) the default 8 bands × 8 planes catches ≈ 93% of true
+    pairs while expected bucket size is n/256 per band, so candidate
+    volume is O(b · n²/2^r) — a 256× reduction vs a single 0-plane
+    table, and tunable: more planes → smaller buckets, more bands →
+    recall back."""
+    cands = lsh_band_candidates(
+        vectors, n_bands, n_planes, id_col, vec_col, dim
     )
     return (
-        a.join(b, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        cands.select(
             "id_a",
             "id_b",
             F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),

@@ -195,6 +195,84 @@ def test_lsh_near_dup_pairs(spark, vecs):
         for r in lsh_near_dup_pairs(vecs, 0.9, n_planes=1, dim=4).collect()
     }
     assert lsh <= exact
-    # with 1 plane, the (0,1) near-dup pair (cos≈0.99) collides w.h.p.
-    # for this fixture's deterministic planes
+    # 8 bands × 1 plane: the (0,1) near-dup pair (cos≈0.99) collides in
+    # at least one band w.h.p. for this fixture's deterministic planes
     assert (0, 1) in lsh
+
+
+def _clustered_vecs(spark, n_per=40, dim=8, n_clusters=4):
+    """Deterministic clustered fixture: n_clusters axis-aligned centers,
+    members = center + small deterministic offset in one other dim."""
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for j in range(n_per):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 1 + j % (dim - 1)) % dim] += 0.05 + 0.001 * j
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def test_banded_lsh_candidate_bound_and_recall(spark):
+    """Banded LSH: candidates stay far below all-pairs, results stay a
+    subset of exact, and in-cluster near-dups are recalled."""
+    from scrapy_rs_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_band_candidates,
+        lsh_near_dup_pairs,
+    )
+
+    vecs = _clustered_vecs(spark)
+    n = vecs.count()
+    all_pairs = n * (n - 1) // 2
+    n_cands = lsh_band_candidates(vecs, n_bands=8, n_planes=8, dim=8).count()
+    # 8 planes/band → 256 buckets/band; clustered data concentrates in
+    # ~n_clusters buckets per band, so candidates ≈ within-cluster pairs,
+    # far below all-pairs
+    assert n_cands < all_pairs * 0.5
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_near_dup_pairs(vecs, 0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(
+            vecs, 0.95, n_bands=8, n_planes=8, dim=8
+        ).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0
+    # banded OR recovers recall: ≥90% of true near-dup pairs found
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark):
+    """Seeded k-means centroids beat the lowest-hash init on clustered
+    data: with n_probe=1 every query must find its in-cluster
+    neighbors, which requires centroids near the true cluster centers."""
+    from scrapy_rs_spark.operators.similarity import (
+        ivf_ann_topk,
+        kmeans_centroids,
+    )
+
+    vecs = _clustered_vecs(spark)
+    q = vecs.filter(F.col("vec_id").isin([0, 40, 80, 120])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vecs, q, k=5).collect()
+    }
+    cents = kmeans_centroids(vecs, k=4, n_iters=3)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(
+            vecs, q, k=5, n_centroids=4, n_probe=1, centroids=cents
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95
+    # determinism: same seed → same centroids
+    again = kmeans_centroids(vecs, k=4, n_iters=3)
+    assert cents == again

@@ -21,21 +21,23 @@ from scrapy_rs_spark.session import build_session  # noqa: E402
 
 
 def norm_val(v):
-    if v is None:
+    """Stringify like the driver does (pandas-fetched values, plain
+    str()) — so type artifacts such as DuckDB HUGEINT → float64
+    ('...0' suffix) FAIL here exactly as they fail in the driver."""
+    if v is None or v != v:  # None or NaN
         return "∅"
     if isinstance(v, bool):
         return str(int(v))
-    if isinstance(v, float):
-        return f"{v:.6f}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def norm_rows(pdf):
+    cols = sorted(pdf.columns)
     return sorted(
-        tuple(norm_val(r[i]) for i in order) for r in rows
+        tuple(norm_val(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
     )
 
 
@@ -55,33 +57,31 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = sdf.collect()
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"✗ {name}: SPARK ERROR {str(e)[:2000]}")
             continue
         if name not in oracles:
             status = "rows-only"
-            print(f"• {name}: {len(srows)} rows ({status}, no oracle)")
-            if len(srows) == 0:
+            print(f"• {name}: {len(spdf)} rows ({status}, no oracle)")
+            if len(spdf) == 0:
                 failures.append((name, "0 rows (rows-only query)"))
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"✗ {name}: DUCKDB ERROR {str(e)[:2000]}")
             continue
+        scols, dcols = list(spdf.columns), list(dpdf.columns)
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema {sorted(scols)} != {sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount {len(srows)} != {len(drows)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount {len(spdf)} != {len(dpdf)}")
         if not problems:
-            a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
+            a, b = norm_rows(spdf), norm_rows(dpdf)
             if a != b:
                 diffs = [
                     (x, y) for x, y in zip(a, b) if x != y
@@ -91,7 +91,7 @@ def main():
             failures.append((name, "; ".join(problems)))
             print(f"✗ {name}: {'; '.join(problems)[:2000]}")
         else:
-            print(f"✓ {name}: {len(srows)} rows match")
+            print(f"✓ {name}: {len(spdf)} rows match")
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FAILURES")
