@@ -538,6 +538,18 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _q_dynamic_item_fields(spark, sf_dir):
+    """DynamicItem columnar surface (reference core/src/item.rs:28-36):
+    arbitrary extracted fields ride as MAP<STRING,STRING> on items;
+    exploded to (doc_id, key, value) for the value-hash check."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    fields = F.create_map(
+        F.lit("n_chars"), F.length("text").cast("string"),
+        F.lit("head"), F.substring("text", 1, 16),
+    )
+    return docs.select("doc_id", F.explode(fields).alias("key", "value"))
+
+
 def _q_crawl_bfs(spark, sf_dir):
     """The crawl spine as an oracle-checked query: 3 BFS rounds over the
     closed-form (i+k+1)%N mock-site link graph — iterative DataFrame
@@ -616,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_exact": _q_ann_lsh_exact,
         "neardup_lsh": _q_neardup_lsh,
         "multimodal_decode": _q_multimodal_decode,
+        "dynamic_item_fields": _q_dynamic_item_fields,
         "crawl_bfs": _q_crawl_bfs,
     }
 
@@ -827,6 +840,12 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 300 AND b.vec_id < 300
   AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.30""",
+        "dynamic_item_fields": """
+SELECT doc_id, 'n_chars' AS key, CAST(length(text) AS STRING) AS value
+FROM documents
+UNION ALL
+SELECT doc_id, 'head' AS key, substr(text, 1, 16) AS value
+FROM documents""",
         "crawl_bfs": """
 WITH RECURSIVE edges AS (
   SELECT src, (src + k) % 50 AS dst

@@ -48,36 +48,67 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--pages", required=True, help="pages parquet path")
     c.add_argument("--seeds", nargs="*", default=[], help="seed URLs")
     c.add_argument("--seeds-file", help="file with one seed URL per line")
-    c.add_argument("--settings", help="settings JSON (reference key names ok)")
+    c.add_argument(
+        "--settings",
+        help="settings file: .json/.toml/.py/.yaml (reference key names ok;"
+        " START_URLS/ALLOWED_DOMAINS build the spider like the reference"
+        " binary)",
+    )
     c.add_argument("--store", help="crawl store directory (resume-able)")
+    c.add_argument(
+        "--resume",
+        action="store_true",
+        help="continue a store that already has committed rounds",
+    )
     c.add_argument("--master", default=None)
     c.add_argument("--max-rounds", type=int, default=1000)
     c.add_argument("--name", default="spider")
     c.add_argument("--json", action="store_true", help="print stats as JSON")
     args = ap.parse_args(argv)
 
-    settings = (
-        Settings.from_file(args.settings) if args.settings else Settings()
-    )
+    raw = Settings.raw_from_file(args.settings) if args.settings else {}
+    settings = Settings.from_dict(raw)
     seeds = list(args.seeds)
     if args.seeds_file:
         with open(args.seeds_file) as f:
             seeds += [ln.strip() for ln in f if ln.strip()]
-    if not seeds:
-        print("no seeds given (--seeds / --seeds-file)", file=sys.stderr)
+    # reference CLI builds the spider from settings (main.rs:567-605)
+    seeds += [u for u in raw.get("START_URLS", []) if u not in seeds]
+    allowed = list(raw.get("ALLOWED_DOMAINS", []))
+    if not seeds and not args.resume:
+        print(
+            "no seeds given (--seeds / --seeds-file / START_URLS)",
+            file=sys.stderr,
+        )
         return 2
 
     spark = build_session(app_name=f"crawl:{args.name}", master=args.master)
     try:
-        spider = Spider(name=args.name, start_urls=seeds)
-        stats = run_crawl(
-            spark,
-            spider,
-            _pages_df(spark, args.pages),
-            settings,
-            store_path=args.store,
-            max_rounds=args.max_rounds,
-        )
+        if args.resume:
+            if not args.store:
+                print("--resume requires --store", file=sys.stderr)
+                return 2
+            from scrapy_rs_spark.plans.engine import CrawlEngine
+
+            engine = CrawlEngine(
+                spark,
+                _pages_df(spark, args.pages),
+                settings,
+                store_path=args.store,
+            )
+            stats = engine.resume(max_rounds=args.max_rounds)
+        else:
+            spider = Spider(
+                name=args.name, start_urls=seeds, allowed_domains=allowed
+            )
+            stats = run_crawl(
+                spark,
+                spider,
+                _pages_df(spark, args.pages),
+                settings,
+                store_path=args.store,
+                max_rounds=args.max_rounds,
+            )
         out = {
             "requests": stats.requests,
             "responses": stats.responses,

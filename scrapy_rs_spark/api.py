@@ -21,7 +21,9 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+import json
+
+from pyspark.sql.types import ArrayType, MapType, StringType
 
 from scrapy_rs_spark.plans.engine import CrawlEngine, CrawlStats
 from scrapy_rs_spark.settings import Settings
@@ -37,12 +39,16 @@ class Spider:
     name: str
     start_urls: list[str] = field(default_factory=list)
     allowed_domains: list[str] = field(default_factory=list)
-    # per-document hooks: html bytes → text / list of hrefs
+    # per-document hooks: html bytes → text / list of hrefs / field map
     parse_text: Callable[[bytes], str] | None = None
     parse_links: Callable[[bytes], list[str]] | None = None
+    # DynamicItem parity (reference core/src/item.rs:28-36): arbitrary
+    # extracted fields land in items.fields MAP<STRING,STRING>
+    parse_fields: Callable[[bytes], dict] | None = None
     # or pre-built pandas UDFs (take precedence)
     text_udf: object | None = None
     links_udf: object | None = None
+    fields_udf: object | None = None
 
     def _text_udf(self):
         if self.text_udf is not None:
@@ -70,6 +76,32 @@ class Spider:
 
         return _u
 
+    def _fields_udf(self):
+        if self.fields_udf is not None:
+            return self.fields_udf
+        if self.parse_fields is None:
+            return None
+        fn = self.parse_fields
+
+        @pandas_udf(MapType(StringType(), StringType()))
+        def _u(html: pd.Series) -> pd.Series:
+            def conv(b):
+                if b is None:
+                    return None
+                d = fn(bytes(b))
+                if d is None:
+                    return None
+                # DynamicItem values are arbitrary JSON; stringify
+                # non-strings so the columnar map stays STRING→STRING
+                return {
+                    str(k): v if isinstance(v, str) else json.dumps(v)
+                    for k, v in d.items()
+                }
+
+            return html.map(conv)
+
+        return _u
+
 
 def run_crawl(
     spark: SparkSession,
@@ -93,6 +125,7 @@ def run_crawl(
         store_path=store_path,
         parse_text_udf=spider._text_udf(),
         parse_links_udf=spider._links_udf(),
+        parse_fields_udf=spider._fields_udf(),
         **engine_kwargs,
     )
     stats = engine.run(spider.start_urls, max_rounds=max_rounds)

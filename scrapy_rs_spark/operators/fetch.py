@@ -35,7 +35,10 @@ RETRYABLE_STATUSES = [408, 429, 500, 502, 503, 504]
 
 
 def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
-    """Left-join the ranked batch to the pages table on canonical url.
+    """Left-join the ranked batch to the pages table on canonical url —
+    and on method too when the pages table distinguishes methods, so a
+    GET and a POST of the same URL (distinct request identities,
+    request.rs:240-253) fetch distinct page rows.
 
     Left join so missing pages surface as fetch errors (status NULL ≈
     connection error). The batch side is small relative to the web →
@@ -46,12 +49,16 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
     # pages.text/lang/warc_ts would ride through every shuffle and at
     # 100 TB the text column alone is a large fraction of the table;
     # the pruned ReadSchema reaches the parquet/Iceberg scan
-    p = pages.select(
+    method_aware = "method" in pages.columns and "method" in batch.columns
+    proj = [
         F.col("url").alias("__p_url"),
         F.col("status").alias("status"),
         F.col("html").alias("html"),
         F.col("headers").alias("headers"),
-    )
+    ]
+    if method_aware:
+        proj.append(F.col("method").alias("__p_method"))
+    p = pages.select(*proj)
     # response columns own the plain names; request-side columns that
     # collide (e.g. headers set by request middleware) become req_*
     # — the reference Response likewise embeds the originating request
@@ -59,9 +66,10 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
     for c in ("status", "html", "headers"):
         if c in batch.columns:
             batch = batch.withColumnRenamed(c, f"req_{c}")
-    return batch.join(p, batch["url_canon"] == p["__p_url"], "left").drop(
-        "__p_url"
-    )
+    cond = batch["url_canon"] == p["__p_url"]
+    if method_aware:
+        cond = cond & (batch["method"] == p["__p_method"])
+    return batch.join(p, cond, "left").drop("__p_url", "__p_method")
 
 
 def is_success(status: Column) -> Column:
@@ -126,6 +134,8 @@ def build_retries(
         "dont_filter",
         "retry_not_before_round",
         "meta",
+        "body",
+        "cookies",
     ]
     kept = retry_rows.filter(
         F.col("retry_count") < F.lit(settings.max_retries)

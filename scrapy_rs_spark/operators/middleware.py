@@ -132,6 +132,29 @@ def conditional(predicate: Column, transform: Transform) -> Transform:
     return _t
 
 
+def random_delay(max_delay_ms: int, seed: int = 0) -> Transform:
+    """RandomDelayMiddleware analogue (middleware/src/lib.rs:166-211:
+    per-request random delay in [0, max_delay_ms)). A set-at-a-time
+    engine has no per-request sleep — pacing is governed by the
+    politeness budget (T1) — so the set-oriented equivalent is a
+    DETERMINISTIC salted jitter column: delay_ms = xxhash64(identity,
+    seed) % max. No RNG state → stable under task retry; use it to
+    randomize dispatch order (e.g. as rate_limit's order) or as a meta
+    signal for downstream sinks."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        jitter = F.pmod(
+            F.xxhash64(F.col("url_hash"), F.lit(seed)), F.lit(max_delay_ms)
+        )
+        entry = F.create_map(F.lit("delay_ms"), jitter.cast("string"))
+        merged = F.when(
+            F.col("meta").isNull(), entry
+        ).otherwise(F.map_concat(F.col("meta"), entry))
+        return df.withColumn("meta", merged)
+
+    return _t
+
+
 # ---- item pipelines / sinks ----
 
 def filter_pipeline(predicate: Column) -> Transform:

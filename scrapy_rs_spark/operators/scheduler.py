@@ -240,6 +240,8 @@ class FrontierScheduler:
             .withColumn("retry_count", F.lit(0))
             .withColumn("retry_not_before_round", F.lit(0))
             .withColumn("meta", F.lit(None).cast("map<string,string>"))
+            .withColumn("body", F.lit(None).cast("binary"))
+            .withColumn("cookies", F.lit(None).cast("map<string,string>"))
         )
         df = apply_enqueue_filters(df, self.settings)
         df = dedup_in_batch(df)

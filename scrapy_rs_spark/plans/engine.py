@@ -69,6 +69,8 @@ FRONTIER_COLS = [
     "dont_filter",
     "retry_not_before_round",
     "meta",
+    "body",
+    "cookies",
 ]
 
 # effectively-unlimited per-host budget when no politeness delay is set
@@ -109,6 +111,7 @@ class CrawlEngine:
         store_path: str | None = None,
         parse_text_udf=None,
         parse_links_udf=None,
+        parse_fields_udf=None,
         request_middlewares=None,
         response_middlewares=None,
         item_pipelines=None,
@@ -121,9 +124,16 @@ class CrawlEngine:
         # X1: user parse hooks (Arrow pandas UDFs); defaults = pinned
         # extractors. X2-X4: ordered transform chains
         # (operators/middleware.MiddlewareChain or any DataFrame→DataFrame)
-        self._default_parse = parse_text_udf is None and parse_links_udf is None
+        self._default_parse = (
+            parse_text_udf is None
+            and parse_links_udf is None
+            and parse_fields_udf is None
+        )
         self.parse_text_udf = parse_text_udf or extract_text_udf
         self.parse_links_udf = parse_links_udf or extract_links_udf
+        # DynamicItem parity (core/src/item.rs:28-36): arbitrary
+        # spider-extracted fields ride in items.fields MAP<STRING,STRING>
+        self.parse_fields_udf = parse_fields_udf
         self.request_middlewares = request_middlewares
         self.response_middlewares = response_middlewares
         self.item_pipelines = item_pipelines
@@ -296,33 +306,58 @@ class CrawlEngine:
                 "url",
                 "url_canon",
                 "depth",
+                "cookies",
                 parse_page_udf(F.col("html")).alias("p"),
             ).localCheckpoint(eager=True)
             items = parsed.select(
                 F.col("url"),
                 F.lit("extracted_text").alias("item_type"),
                 F.col("p.text").alias("text"),
+                F.lit(None).cast("map<string,string>").alias("fields"),
                 F.lit(rnd).alias("rnd"),
             )
             raw_links = parsed.select(
                 F.col("url_canon").alias("base"),
                 F.col("depth").alias("parent_depth"),
+                F.col("cookies").alias("parent_cookies"),
                 F.explode(F.col("p.links")).alias("href"),
             )
         else:
+            fields_col = (
+                self.parse_fields_udf(F.col("html"))
+                if self.parse_fields_udf is not None
+                else F.lit(None).cast("map<string,string>")
+            )
             items = success.select(
                 F.col("url"),
                 F.lit("extracted_text").alias("item_type"),
                 self.parse_text_udf(F.col("html")).alias("text"),
+                fields_col.alias("fields"),
                 F.lit(rnd).alias("rnd"),
             )
             raw_links = success.select(
                 F.col("url_canon").alias("base"),
                 F.col("depth").alias("parent_depth"),
+                F.col("cookies").alias("parent_cookies"),
                 F.explode(self.parse_links_udf(F.col("html"))).alias("href"),
             )
+        # invalid-UTF-8 / unparsable pages yield text NULL → routed to
+        # the error channel (functions/text.py contract), never written
+        # as items. Counts come free from observations on the items
+        # write (no extra driver jobs).
+        from pyspark.sql import Observation
+
+        obs_raw = Observation(f"items_raw_r{rnd}")
+        items = items.observe(
+            obs_raw,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("text").isNull().cast("long")).alias("n_null"),
+        ).filter(F.col("text").isNotNull())
+        obs_out = None
         if self.item_pipelines is not None:
             items = self.item_pipelines(items)  # X4
+            obs_out = Observation(f"items_out_r{rnd}")
+            items = items.observe(obs_out, F.count(F.lit(1)).alias("n"))
         links = raw_links.withColumn(
             "url", urljoin_udf(F.col("base"), F.col("href"))
         ).filter(F.col("url").isNotNull())
@@ -331,6 +366,9 @@ class CrawlEngine:
                 F.col("url"),
                 F.col("url").alias("url_canon"),
                 (F.col("parent_depth") + 1).cast("int").alias("depth"),
+                # Response::follow copies the cookie jar onto followed
+                # requests (response.rs:186-203)
+                F.col("parent_cookies").alias("cookies"),
             )
             # unresolvable hrefs already filtered (url IS NOT NULL above)
             .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
@@ -345,17 +383,23 @@ class CrawlEngine:
             .withColumn("dont_filter", F.lit(False))
             .withColumn("retry_not_before_round", F.lit(0))
             .withColumn("meta", F.lit(None).cast("map<string,string>"))
+            .withColumn("body", F.lit(None).cast("binary"))
         )
 
-        # redirects re-enter at the same depth (response.rs:126-142);
+        # redirects re-enter at the same depth AND priority
+        # (response.rs:126-142), cookies copied like Response::follow;
         # hop count rides in meta, bounded by max_redirects. The whole
-        # chain (UDF + union) is skipped when the round saw none.
-        redirs = None if n_redirect == 0 else routes["redirect"].select(
+        # chain (UDF + union) is skipped when the round saw none — or
+        # when follow_redirects is off, in which case 3xx rows are
+        # terminal responses (counted, never re-enqueued).
+        follow = n_redirect > 0 and s.follow_redirects
+        redirs = None if not follow else routes["redirect"].select(
             urljoin_udf(
                 F.col("url_canon"), F.element_at(F.col("headers"), "location")
             ).alias("url"),
             F.col("depth"),
             F.col("priority"),
+            F.col("cookies"),
             (
                 F.coalesce(
                     F.element_at(F.col("meta"), "redirect_hops").cast("int"),
@@ -373,6 +417,8 @@ class CrawlEngine:
                 "url",
                 F.col("url").alias("url_canon"),
                 "depth",
+                "priority",
+                "cookies",
                 "hops",
             )
             .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
@@ -380,7 +426,6 @@ class CrawlEngine:
                 "url_hash", url_hash_expr(F.col("url_canon"), F.lit("GET"))
             )
             .withColumn("method", F.lit("GET"))
-            .withColumn("priority", F.lit(0))
             .withColumn("discovery_round", F.lit(rnd + 1))
             .withColumn("discovery_seq", F.lit(0).cast("long"))
             .withColumn("retry_count", F.lit(0))
@@ -395,6 +440,7 @@ class CrawlEngine:
                     F.array(F.col("hops").cast("string")),
                 ),
             )
+            .withColumn("body", F.lit(None).cast("binary"))
         )
         candidates = candidates.select(*FRONTIER_COLS)
         if redirs is not None:
@@ -443,7 +489,19 @@ class CrawlEngine:
         else:
             new_served = None  # lifetime per-host accounting only with a cap
 
-        n_items = n_success  # one extracted-text item per successful page
+        # items are written first (inside the round dir, still invisible
+        # until MANIFEST) so the observations attached to the items plan
+        # resolve — item/decode-error counts cost no extra jobs
+        self.store.begin_round(rnd)
+        self.store.write_items(rnd, items)
+        raw = obs_raw.get
+        n_parsed = int(raw["n"] or 0)
+        n_null_text = int(raw["n_null"] or 0)
+        if obs_out is not None:
+            n_items = int(obs_out.get["n"] or 0)
+        else:
+            n_items = n_parsed - n_null_text
+
         metrics = {
             "round": rnd,
             "requests": n_batch,
@@ -458,16 +516,19 @@ class CrawlEngine:
         _mark("counts")
         n_exhausted = n_retry_in - n_retries_requeued
         metrics["retries"] = n_retries_requeued
-        metrics["errors"] = n_error + n_exhausted
+        # decode failures (text NULL) are errors, not items — the page
+        # fetched but produced nothing (text.py error-channel contract)
+        metrics["errors"] = n_error + n_exhausted + n_null_text
         metrics["new_urls"] = n_new
 
         self.store.commit_round(
             rnd,
             next_frontier,
             seen_delta,
-            items,
+            None,  # items already written above
             new_served,
             metrics,
+            clean=False,
         )
         if self.bloom is not None and metrics["new_urls"]:
             # sidecar built AFTER the exact commit: a crash can leave the
@@ -496,6 +557,17 @@ class CrawlEngine:
         max_rounds: int = 1_000,
     ) -> CrawlStats:
         s = self.settings
+        # a store with committed rounds must be resumed, not re-seeded:
+        # re-running run() would commit fresh seeds as round 0 while
+        # resume() continues from the OLD latest frontier, silently
+        # ignoring the new seeds and returning stale state
+        prior = self.store.latest_round()
+        if prior is not None:
+            raise RuntimeError(
+                f"store at {self.store.root} already has committed rounds"
+                f" (latest={prior}); call resume() to continue that crawl,"
+                " or point store_path at a fresh directory"
+            )
         seeds_df = seeds_frontier(self.spark, seeds)
         # invalid URLs error at Request construction in the reference
         # (request.rs:107-108) — reject at enqueue, never fetch/retry

@@ -28,6 +28,13 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("dont_filter", T.BooleanType(), False),
         T.StructField("retry_not_before_round", T.IntegerType(), False),
         T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        # request payload + cookie jar (request.rs:24-91: body, cookies);
+        # cookies are copied onto followed requests like Response::follow
+        # (response.rs:186-203)
+        T.StructField("body", T.BinaryType(), True),
+        T.StructField(
+            "cookies", T.MapType(T.StringType(), T.StringType()), True
+        ),
     ]
 )
 
@@ -35,7 +42,7 @@ FRONTIER_DDL = (
     "url STRING, url_canon STRING, url_hash BIGINT, host STRING, method STRING,"
     " priority INT, depth INT, discovery_round INT, discovery_seq BIGINT,"
     " retry_count INT, dont_filter BOOLEAN, retry_not_before_round INT,"
-    " meta MAP<STRING,STRING>"
+    " meta MAP<STRING,STRING>, body BINARY, cookies MAP<STRING,STRING>"
 )
 
 # pages row ⇔ Response (/root/reference/core/src/response.rs:11-46) shaped to
@@ -54,8 +61,10 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
-# extracted item ⇔ DynamicItem (/root/reference/core/src/item.rs:28-36); the
-# flagship extracted-text item is fixed-schema for the byte-identical check.
+# extracted item ⇔ DynamicItem (/root/reference/core/src/item.rs:28-36): the
+# flagship extracted-text item keeps a first-class text column (for the
+# byte-identical check), and arbitrary spider-extracted fields ride in a
+# generic MAP — the columnar restatement of `fields: HashMap<String,Value>`.
 ITEMS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -64,7 +73,13 @@ ITEMS_SCHEMA = T.StructType(
         T.StructField(
             "fields", T.MapType(T.StringType(), T.StringType()), True
         ),
+        T.StructField("rnd", T.IntegerType(), True),
     ]
+)
+
+ITEMS_DDL = (
+    "url STRING, item_type STRING, text STRING,"
+    " fields MAP<STRING,STRING>, rnd INT"
 )
 
 # per-host policy ⇔ robots + per-domain config

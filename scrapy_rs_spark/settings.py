@@ -83,8 +83,115 @@ class Settings:
         return cls(**kwargs)
 
     @classmethod
-    def from_file(cls, path: str) -> "Settings":
-        """Load JSON settings file (reference also parses TOML/YAML/py;
-        JSON is the lingua franca here)."""
+    def raw_from_file(cls, path: str) -> dict:
+        """Parse a settings file to its raw key→value dict by extension,
+        mirroring the reference's multi-format loader
+        (src/settings.rs:103-108): .json, .toml (stdlib tomllib), .py
+        (the same naive KEY = value subset the reference parses,
+        settings.rs:154-245), .yaml/.yml (PyYAML when present, else a
+        flat KEY: value fallback). Keys outside the Settings schema
+        (START_URLS, ALLOWED_DOMAINS, ...) are preserved — the CLI
+        builds the spider from them like the reference binary
+        (main.rs:567-605)."""
+        lower = path.lower()
+        if lower.endswith(".toml"):
+            import tomllib
+
+            with open(path, "rb") as f:
+                return tomllib.load(f)
+        if lower.endswith(".py"):
+            return _parse_py_settings(path)
+        if lower.endswith((".yaml", ".yml")):
+            return _parse_yaml_settings(path)
         with open(path) as f:
-            return cls.from_dict(json.load(f))
+            return json.load(f)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Settings":
+        return cls.from_dict(cls.raw_from_file(path))
+
+
+def _parse_py_settings(path: str) -> dict:
+    """Naive line-oriented `KEY = value` parser — the same subset the
+    reference's .py loader understands (src/settings.rs:154-245): no
+    imports, no expressions; values are Python literals (str/int/float/
+    bool/list). Never exec()s the file."""
+    import ast
+    import re
+
+    def strip_comment(line: str) -> str:
+        quote = None
+        for i, ch in enumerate(line):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "#":
+                return line[:i]
+        return line
+
+    out: dict = {}
+    line_re = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$")
+    with open(path) as f:
+        src = f.read()
+    # handle simple multi-line lists by joining until brackets balance
+    buf = ""
+    for raw in src.splitlines():
+        line = strip_comment(raw)
+        buf = (buf + "\n" + line) if buf else line
+        if buf.count("[") > buf.count("]") or buf.count("{") > buf.count("}"):
+            continue
+        m = line_re.match(buf.replace("\n", " "))
+        buf = ""
+        if not m:
+            continue
+        key, rhs = m.group(1), m.group(2)
+        try:
+            out[key] = ast.literal_eval(rhs)
+        except (ValueError, SyntaxError):
+            continue  # non-literal RHS (expression/call) — skipped
+    return out
+
+
+def _parse_yaml_settings(path: str) -> dict:
+    """PyYAML when available; else a flat `KEY: value` subset parser
+    (scalars and [a, b] inline lists) — enough for reference-shaped
+    settings files without adding a dependency."""
+    try:
+        import yaml  # type: ignore
+
+        with open(path) as f:
+            return yaml.safe_load(f) or {}
+    except ImportError:
+        pass
+    import ast
+
+    out: dict = {}
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, rhs = line.partition(":")
+            key, rhs = key.strip(), rhs.strip()
+            if not key or not rhs:
+                continue
+            if rhs.startswith("["):
+                try:
+                    out[key] = ast.literal_eval(rhs)
+                except (ValueError, SyntaxError):
+                    continue
+            elif rhs in ("true", "True"):
+                out[key] = True
+            elif rhs in ("false", "False"):
+                out[key] = False
+            else:
+                try:
+                    out[key] = int(rhs)
+                except ValueError:
+                    try:
+                        out[key] = float(rhs)
+                    except ValueError:
+                        out[key] = rhs.strip("'\"")
+    return out

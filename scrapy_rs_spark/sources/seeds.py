@@ -2,7 +2,11 @@
 
 Mirrors Spider::start_requests (one GET per seed,
 /root/reference/core/src/spider.rs:24-26) fed to the scheduler at
-/root/reference/engine/src/lib.rs:333-415.
+/root/reference/engine/src/lib.rs:333-415. Dict seeds carry the full
+Request surface (method/body/cookies/priority,
+/root/reference/core/src/request.rs:24-91); identity is
+(canonical url, method) per request.rs:240-253, so a POST and a GET of
+the same URL are distinct frontier rows.
 """
 
 from __future__ import annotations
@@ -16,14 +20,17 @@ from scrapy_rs_spark.functions.url import with_url_identity
 
 def seeds_frontier(
     spark: SparkSession,
-    seeds: list[str] | list[tuple] | DataFrame,
+    seeds: list[str] | list[tuple] | list[dict] | DataFrame,
     default_priority: int = 0,
 ) -> DataFrame:
     """Build frontier generation 0 from a seed list.
 
-    Accepts ["url", ...] or [(url, priority, depth), ...] or a DataFrame
-    with at least a ``url`` column. discovery_seq is the seed-list
-    position (deterministic FIFO arrival order, never wall clock)."""
+    Accepts ["url", ...], [(url, priority, depth), ...],
+    [{"url": ..., "method": "POST", "body": b"...", "cookies": {...},
+    "priority": ..., "depth": ...}, ...] or a DataFrame with at least a
+    ``url`` column (optional method/body/cookies/priority/depth).
+    discovery_seq is the seed-list position (deterministic FIFO arrival
+    order, never wall clock)."""
     if isinstance(seeds, DataFrame):
         df = seeds
         if "priority" not in df.columns:
@@ -35,21 +42,42 @@ def seeds_frontier(
             df = df.withColumn(
                 "discovery_seq", F.row_number().over(w).cast("long") - 1
             )
+        if "method" not in df.columns:
+            df = df.withColumn("method", F.lit("GET"))
+        if "body" not in df.columns:
+            df = df.withColumn("body", F.lit(None).cast("binary"))
+        if "cookies" not in df.columns:
+            df = df.withColumn(
+                "cookies", F.lit(None).cast("map<string,string>")
+            )
     else:
         rows = []
         for i, s in enumerate(seeds):
             if isinstance(s, str):
-                rows.append((s, default_priority, 0, i))
+                rows.append((s, default_priority, 0, i, "GET", None, None))
+            elif isinstance(s, dict):
+                rows.append(
+                    (
+                        s["url"],
+                        int(s.get("priority", default_priority)),
+                        int(s.get("depth", 0)),
+                        i,
+                        str(s.get("method", "GET")).upper(),
+                        bytes(s["body"]) if s.get("body") is not None else None,
+                        s.get("cookies"),
+                    )
+                )
             else:
                 url, prio, depth = (list(s) + [default_priority, 0])[:3]
-                rows.append((url, int(prio), int(depth), i))
+                rows.append((url, int(prio), int(depth), i, "GET", None, None))
         df = spark.createDataFrame(
-            rows, "url STRING, priority INT, depth INT, discovery_seq BIGINT"
+            rows,
+            "url STRING, priority INT, depth INT, discovery_seq BIGINT,"
+            " method STRING, body BINARY, cookies MAP<STRING,STRING>",
         )
-    df = with_url_identity(df, "url")
+    df = with_url_identity(df, "url", method_col="method")
     return (
-        df.withColumn("method", F.lit("GET"))
-        .withColumn("priority", F.col("priority").cast("int"))
+        df.withColumn("priority", F.col("priority").cast("int"))
         .withColumn("depth", F.col("depth").cast("int"))
         .withColumn("discovery_round", F.lit(0))
         .withColumn("retry_count", F.lit(0))
@@ -72,5 +100,7 @@ def seeds_frontier(
             "dont_filter",
             "retry_not_before_round",
             "meta",
+            "body",
+            "cookies",
         )
     )

@@ -70,6 +70,22 @@ class CrawlStore:
         return rounds[-1] if rounds else None
 
     # ---- commit ----
+    def begin_round(self, rnd: int) -> None:
+        """Clear any uncommitted leftovers for a round so partial writes
+        (write_items before commit_round) start from a clean dir."""
+        d = self._round_dir(rnd)
+        if os.path.exists(d):
+            shutil.rmtree(d)  # re-running an uncommitted round is safe
+
+    def write_items(self, rnd: int, items: DataFrame | None) -> None:
+        """Write a round's items ahead of commit_round (still invisible
+        to readers until MANIFEST exists). Lets the engine resolve
+        observations attached to the items plan before sealing metrics."""
+        if items is not None:
+            items.write.mode("overwrite").parquet(
+                os.path.join(self._round_dir(rnd), "items")
+            )
+
     def commit_round(
         self,
         rnd: int,
@@ -78,14 +94,17 @@ class CrawlStore:
         items: DataFrame | None,
         host_served: DataFrame | None,
         metrics: dict,
+        clean: bool = True,
     ) -> None:
         """Write all state for a round, MANIFEST last (commit point).
 
         An interrupted write leaves no MANIFEST → the round is invisible
-        to resume, exactly like an uncommitted Iceberg snapshot."""
+        to resume, exactly like an uncommitted Iceberg snapshot.
+        clean=False preserves state already staged into the round dir
+        (begin_round + write_items)."""
         d = self._round_dir(rnd)
-        if os.path.exists(d):
-            shutil.rmtree(d)  # re-running an uncommitted round is safe
+        if clean:
+            self.begin_round(rnd)
         frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
         (
             seen_delta.withColumn(
@@ -183,13 +202,11 @@ class CrawlStore:
             for r in rounds
             if os.path.isdir(os.path.join(self._round_dir(r), "items"))
         ]
+        from scrapy_rs_spark.schemas import ITEMS_DDL
+
         if not paths:
-            return self.spark.createDataFrame(
-                [], "url STRING, item_type STRING, text STRING, rnd INT"
-            )
-        return self.spark.read.schema(
-            "url STRING, item_type STRING, text STRING, rnd INT"
-        ).parquet(*paths)
+            return self.spark.createDataFrame([], ITEMS_DDL)
+        return self.spark.read.schema(ITEMS_DDL).parquet(*paths)
 
     def metrics_df(self) -> DataFrame:
         """crawl_metrics as a DataFrame (A1/A4): per-round counters for

@@ -14,10 +14,13 @@ Each micro-batch runs the SAME operators as a CrawlEngine round
 (fetch-as-join, parse UDFs, enqueue filters, in-batch dedup, seen
 anti-join) and appends discovered candidates back into the watched
 frontier directory — the stream feeds itself until the frontier
-drains. The seen set lives in a CrawlStore-compatible bucketed parquet
-dir; exactly-once enqueue comes from the anti-join (duplicates across
-micro-batch replays are filtered by seen membership, which is
-idempotent by construction).
+drains. The seen set lives in batch_id=N-partitioned parquet. Streaming
+execution is at-least-once (a crashed micro-batch replays), so every
+sink write is idempotent: items/seen overwrite their batch_id=N
+partition, the frontier feed materializes under deterministic
+per-batch file names (the file source tracks processed files by path),
+and the seen anti-join excludes the current batch's own partition so a
+replay reproduces — not re-appends — its first attempt.
 
 Politeness in streaming mode: micro-batch duration is the round
 duration, so per-host budgets discretize the same way (T1).
@@ -43,7 +46,7 @@ from scrapy_rs_spark.sources.seeds import seeds_frontier
 FRONTIER_COLS = [
     "url", "url_canon", "url_hash", "host", "method", "priority", "depth",
     "discovery_round", "discovery_seq", "retry_count", "dont_filter",
-    "retry_not_before_round", "meta",
+    "retry_not_before_round", "meta", "body", "cookies",
 ]
 
 
@@ -65,31 +68,56 @@ class StreamingCrawl:
         self.checkpoint_dir = os.path.join(root, "checkpoint")
         os.makedirs(self.frontier_dir, exist_ok=True)
 
-    def _load_seen(self) -> DataFrame:
+    def _load_seen(self, exclude_batch: int | None = None) -> DataFrame:
+        """Seen hashes across batch_id=N partition dirs; exclude_batch
+        keeps a replayed micro-batch from seeing its own first attempt."""
         if os.path.isdir(self.seen_dir) and any(
             f.endswith(".parquet")
             for _, _, fs in os.walk(self.seen_dir)
             for f in fs
         ):
-            return self.spark.read.schema("url_hash BIGINT").parquet(
-                self.seen_dir
-            )
+            df = self.spark.read.parquet(self.seen_dir)
+            if exclude_batch is not None and "batch_id" in df.columns:
+                df = df.filter(F.col("batch_id") != exclude_batch)
+            return df.select("url_hash")
         return self.spark.createDataFrame([], "url_hash BIGINT")
 
     def seed(self, urls: list[str]) -> None:
         df = seeds_frontier(self.spark, urls)
         df = apply_enqueue_filters(df, self.settings)
         df = dedup_in_batch(df)
-        df.select(*FRONTIER_COLS).write.mode("append").parquet(
-            self.frontier_dir
+        staging = os.path.join(self.root, "staging", "seed")
+        df.select(*FRONTIER_COLS).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        parts = sorted(
+            f for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith(".")
         )
-        df.select("url_hash").write.mode("append").parquet(self.seen_dir)
+        for i, fname in enumerate(parts):
+            os.replace(
+                os.path.join(staging, fname),
+                os.path.join(self.frontier_dir, f"seed-{i:04d}.parquet"),
+            )
+        # seeds are marked seen at enqueue; batch_id=-1 keys the seed
+        # generation so every real batch's exclude filter keeps it
+        df.select("url_hash").write.mode("overwrite").parquet(
+            os.path.join(self.seen_dir, "batch_id=-1")
+        )
 
     # ---- one micro-batch = one crawl round over new frontier files ----
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Idempotent per-batch writes: Structured Streaming re-executes
+        a micro-batch after a crash (at-least-once execution), so every
+        sink write is keyed by batch_id — items and seen overwrite a
+        batch_id=N partition dir, and the frontier feed lands under
+        deterministic file names via os.replace. A replayed batch
+        rewrites the same bytes to the same paths instead of appending
+        duplicates (exactly-once EFFECT through idempotence)."""
         s = self.settings
         if batch.isEmpty():
             return
+        bid = int(batch_id)
         fetched = fetch_join(batch, self.pages).localCheckpoint(eager=True)
         success = fetched.filter(is_success(F.col("status"))).repartition(
             self.spark.sparkContext.defaultParallelism
@@ -98,14 +126,18 @@ class StreamingCrawl:
             "url",
             F.lit("extracted_text").alias("item_type"),
             extract_text_udf(F.col("html")).alias("text"),
-            F.lit(int(batch_id)).alias("rnd"),
+            F.lit(None).cast("map<string,string>").alias("fields"),
+            F.lit(bid).alias("rnd"),
         )
-        items.write.mode("append").parquet(self.items_dir)
+        items.write.mode("overwrite").parquet(
+            os.path.join(self.items_dir, f"batch_id={bid}")
+        )
 
         links = (
             success.select(
                 F.col("url_canon").alias("base"),
                 F.col("depth").alias("parent_depth"),
+                F.col("cookies").alias("parent_cookies"),
                 F.explode(extract_links_udf(F.col("html"))).alias("href"),
             )
             .withColumn("url", urljoin_udf(F.col("base"), F.col("href")))
@@ -116,6 +148,8 @@ class StreamingCrawl:
                 "url",
                 F.col("url").alias("url_canon"),
                 (F.col("parent_depth") + 1).cast("int").alias("depth"),
+                # follow copies the cookie jar (response.rs:186-203)
+                F.col("parent_cookies").alias("cookies"),
             )
             .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
             .withColumn(
@@ -129,19 +163,38 @@ class StreamingCrawl:
             .withColumn("dont_filter", F.lit(False))
             .withColumn("retry_not_before_round", F.lit(0))
             .withColumn("meta", F.lit(None).cast("map<string,string>"))
+            .withColumn("body", F.lit(None).cast("binary"))
         )
         candidates = apply_enqueue_filters(candidates, s)
         candidates = dedup_in_batch(candidates)
-        candidates = anti_join_seen(candidates, self._load_seen()).select(
-            *FRONTIER_COLS
-        )
+        # membership is judged against OTHER batches' seen partitions —
+        # a replay must not see its own first attempt's hashes or the
+        # anti-join would wrongly drain the batch to empty
+        candidates = anti_join_seen(
+            candidates, self._load_seen(exclude_batch=bid)
+        ).select(*FRONTIER_COLS)
         candidates = candidates.localCheckpoint(eager=True)
         if not candidates.isEmpty():
-            # feed the stream: new frontier files are the next micro-batch
-            candidates.write.mode("append").parquet(self.frontier_dir)
-            candidates.select("url_hash").write.mode("append").parquet(
-                self.seen_dir
+            candidates.select("url_hash").write.mode("overwrite").parquet(
+                os.path.join(self.seen_dir, f"batch_id={bid}")
             )
+            # feed the stream: stage then os.replace under deterministic
+            # names — the file source tracks processed files BY PATH, so
+            # a replayed batch re-materializes the same paths and the
+            # stream never double-reads them
+            staging = os.path.join(self.root, "staging", f"batch={bid}")
+            candidates.repartition(1).write.mode("overwrite").parquet(staging)
+            parts = sorted(
+                f for f in os.listdir(staging)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            for i, fname in enumerate(parts):
+                os.replace(
+                    os.path.join(staging, fname),
+                    os.path.join(
+                        self.frontier_dir, f"batch{bid:06d}-{i:04d}.parquet"
+                    ),
+                )
 
     def run(
         self,
@@ -184,6 +237,6 @@ class StreamingCrawl:
         return self.items()
 
     def items(self) -> DataFrame:
-        return self.spark.read.schema(
-            "url STRING, item_type STRING, text STRING, rnd INT"
-        ).parquet(self.items_dir)
+        return self.spark.read.parquet(self.items_dir).select(
+            "url", "item_type", "text", "fields", "rnd"
+        )

@@ -74,3 +74,45 @@ def test_cli_no_seeds_errors():
     )
     assert out.returncode == 2
     assert "no seeds" in out.stderr
+
+
+def test_cli_settings_py_start_urls_and_resume(spark, tmp_path):
+    """Reference-shaped settings.py drives the spider (START_URLS /
+    ALLOWED_DOMAINS, main.rs:567-605), and --resume continues a store
+    that run() would otherwise refuse."""
+    from scrapy_rs_spark.sources.mocksite import mock_site_pages
+
+    pages_path = str(tmp_path / "pages")
+    mock_site_pages(spark, 20, 5, partitions=2).write.parquet(pages_path)
+    settings_path = tmp_path / "settings.py"
+    settings_path.write_text(
+        "# reference-style settings.py\n"
+        "SCHEDULER_TYPE = 'breadth_first'\n"
+        "MAX_DEPTH = 1\n"
+        "START_URLS = ['http://mocksite.test/0']\n"
+        "ALLOWED_DOMAINS = ['mocksite.test']\n"
+    )
+    store = str(tmp_path / "store")
+    args = [
+        sys.executable, "-m", "scrapy_rs_spark", "crawl",
+        "--pages", pages_path,
+        "--settings", str(settings_path),
+        "--store", store,
+        "--master", "local[4]",
+        "--json",
+    ]
+    out = subprocess.run(
+        args, capture_output=True, text=True, cwd="/root/repo", timeout=420
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["requests"] == 6  # seeds came from START_URLS
+
+    # --resume on the finished store is a no-op continuation, rc 0
+    out2 = subprocess.run(
+        args + ["--resume"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    stats2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert stats2["requests"] == 6  # prior rounds' totals, nothing re-crawled

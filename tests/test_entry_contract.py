@@ -54,7 +54,6 @@ def test_contract_shape():
         "ann_lsh",
         "ann_ivf",
         "neardup_lsh",
-        "multimodal_decode",
     }
 
 
