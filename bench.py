@@ -187,34 +187,43 @@ def main() -> None:
 
     result: dict = {"unit": "sec", "sf": SF, "queries": {}}
 
-    # ---- operator-slice timings at SF_DIR ----
+    # ONE in-process session for the query sweep AND the polite crawl —
+    # recreating a SparkContext in-process leaves the first context's
+    # Python accumulator server half-torn-down and the second context's
+    # task completions spam PythonAccumulatorV2.merge EOF errors.
     spark = build_session(app_name="bench_queries", master=f"local[{CPUS}]")
-    for name, fn in entry.queries().items():
-        t0 = time.time()
-        try:
-            n = fn(spark, SF_DIR).count()
-            result["queries"][name] = round(time.time() - t0, 3)
-        except Exception as e:  # record, don't die
-            result["queries"][name] = None
-            result.setdefault("errors", {})[name] = str(e)[:200]
-    spark.stop()
-
-    # ---- headline crawl throughput ----
-    crawl = run_crawl(f"local[{CPUS}]", CRAWL_PAGES)
-    result["crawl"] = crawl
-    result["metric"] = "crawl_urls_per_sec"
-    result["value"] = crawl["urls_per_sec"]
-
-    # ---- politeness-path crawl (two-phase salted per-host ranking) ----
-    spark = build_session(
-        app_name="bench_polite", master=f"local[{CPUS}]"
-    )
     try:
+        # ---- untimed warmup: JIT/codegen + Arrow/pandas-UDF workers ----
+        # without it the first timed query absorbs ~5s of session warmup
+        qs = entry.queries()
+        for wname in ("frontier_rank_priority", "url_canonicalize"):
+            try:
+                qs[wname](spark, SF_DIR).count()
+            except Exception:
+                pass
+
+        # ---- operator-slice timings at SF_DIR ----
+        for name, fn in qs.items():
+            t0 = time.time()
+            try:
+                fn(spark, SF_DIR).count()
+                result["queries"][name] = round(time.time() - t0, 3)
+            except Exception as e:  # record, don't die
+                result["queries"][name] = None
+                result.setdefault("errors", {})[name] = str(e)[:200]
+
+        # ---- politeness-path crawl (per-host budget ranking) ----
         result["crawl_polite"] = _crawl_polite_once(
             spark, max(5000, CRAWL_PAGES // 4)
         )
     finally:
         spark.stop()
+
+    # ---- headline crawl throughput (own subprocess = fresh JVM) ----
+    crawl = run_crawl(f"local[{CPUS}]", CRAWL_PAGES)
+    result["crawl"] = crawl
+    result["metric"] = "crawl_urls_per_sec"
+    result["value"] = crawl["urls_per_sec"]
 
     # ---- scaling evidence (opt-in; north rule: N vs 4N cores) ----
     # measured at ≥1M pages where parallel work dominates the per-round

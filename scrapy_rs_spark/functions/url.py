@@ -131,26 +131,43 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize)
 
 
-# fast-path detector for hrefs where urljoin+canonicalize reduces to
-# origin+href: absolute path, only chars canonicalize leaves untouched,
-# no percent-escapes, no dot segments, no query/fragment. Everything
-# else falls back to the exact python path.
+# fast-path detectors for hrefs where urljoin+canonicalize reduces to a
+# string concat: only chars canonicalize leaves untouched, no
+# percent-escapes, no dot segments, no query/fragment. Everything else
+# falls back to the exact python path.
 # ';' is excluded: urllib's urljoin treats it as legacy params syntax
 # (a trailing ';' is dropped), so ';' hrefs must take the exact path to
 # stay byte-identical with resolve() (hypothesis-found corner)
 _FAST_HREF = re.compile(r"^/[A-Za-z0-9_\-./~!$&'()*+,=:@]*$")
+# relative form: no leading '/', no ':' anywhere (scheme ambiguity)
+_REL_HREF = re.compile(r"^[A-Za-z0-9_\-.~!$&'()*+,=@][A-Za-z0-9_\-./~!$&'()*+,=@]*$")
 _DOT_SEG = re.compile(r"/\.\.?(?:/|$)")
+_ANY_DOT_SEG = re.compile(r"(?:^|/)\.\.?(?:/|$)")
 _ORIGIN = re.compile(r"^(https?://[^/?#]+)")
+# base gate for the relative fast path: already-canonical http(s) URL —
+# lowercase host, no port (a non-canonical ':80' would survive the
+# concat but be stripped by the exact path), no userinfo, no escapes,
+# no query/fragment — so dir(base) + href is its own canonical form
+_CANON_REL_BASE = re.compile(
+    r"^https?://[a-z0-9.\-]+/[A-Za-z0-9_\-./~!$&'()*+,=:@]*$"
+)
+_AFTER_LAST_SLASH = re.compile(r"[^/]*$")
 
 
 @pandas_udf(StringType())
 def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
-    """Vectorized resolve: the dominant case on a real crawl (plain
-    absolute-path hrefs against an already-canonical base) is a string
-    concat done in pandas; anything unusual (relative paths, dot
-    segments, %-escapes, queries, other schemes) takes the exact
+    """Vectorized resolve. The two dominant shapes on a real crawl are
+    handled as pandas string ops:
+
+      * absolute-path hrefs ("/a/b") against any http(s) base →
+        origin + href
+      * relative-path hrefs ("a/b.html") against an already-canonical
+        base (the engine always passes url_canon) → dir(base) + href
+
+    Anything unusual (dot segments, %-escapes, queries, fragments,
+    other schemes, ';', non-canonical bases) takes the exact
     urljoin+canonicalize path. Output is byte-identical either way
-    (tests/test_url_kernel.py cross-checks the two paths)."""
+    (tests/test_url_kernel.py and hypothesis cross-check the paths)."""
     href_s = href.astype("object")
     base_s = base.astype("object")
     fast = (
@@ -162,7 +179,19 @@ def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     fast &= origin.notna()
     out = pd.Series([None] * len(href_s), dtype="object", index=href_s.index)
     out[fast] = origin[fast] + href_s[fast]
-    for i in out.index[~fast]:
+    # relative fast path: a real web corpus is mostly relative hrefs —
+    # this keeps the parse round off the per-row python loop
+    rel = (
+        ~fast
+        & href_s.str.match(_REL_HREF, na=False)
+        & ~href_s.str.contains(_ANY_DOT_SEG, na=True)
+        & base_s.str.match(_CANON_REL_BASE, na=False)
+        & ~base_s.str.contains(_DOT_SEG, na=True)
+    )
+    if rel.any():
+        base_dir = base_s[rel].str.replace(_AFTER_LAST_SLASH, "", regex=True)
+        out[rel] = base_dir + href_s[rel]
+    for i in out.index[~(fast | rel)]:
         out[i] = resolve(base_s[i], href_s[i])
     return out
 

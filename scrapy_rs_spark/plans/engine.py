@@ -185,6 +185,7 @@ class CrawlEngine:
         frontier: DataFrame,
         served: DataFrame | None,
         pages_served_total: int,
+        frontier_hint: int = 1 << 62,
     ) -> dict:
         import time as _time
 
@@ -212,8 +213,17 @@ class CrawlEngine:
         # (counted; the reference would skip them at dequeue forever,
         # domain_group_scheduler.rs:234-238 — documented deviation:
         # we retire them so the crawl terminates)
+        # page_limit is the only global cap; concurrent_requests is a
+        # throughput knob in the reference (not a semantic boundary), so
+        # a round fetches every politeness-eligible row.
+        batch_cap = None
+        if s.page_limit is not None:
+            batch_cap = max(0, s.page_limit - pages_served_total)
+
         delay = max(s.domain_delay_ms, s.download_delay_ms)
         unlimited = delay <= 0 and s.max_requests_per_domain is None
+        batch = None
+        leftover = None
         if unlimited:
             # fast path: no politeness, no cap → no per-host ranking at
             # all (saves two Window shuffles per round)
@@ -221,42 +231,70 @@ class CrawlEngine:
         else:
             allowed = self._with_served(allowed, served)
             budget = self._host_budget_col(served)
-            ranked = per_host_topk(
-                allowed.withColumn("__budget", budget),
-                F.col("__budget"),
-                order,
-                salts=s.host_salts,
-            )
+            # single-window budget path: on a frontier small enough that
+            # per-host skew is bounded by the threshold itself, rank once
+            # per host with the budget as a column and split batch /
+            # leftover from ONE checkpointed rank — saves the salted
+            # second window AND the leftover anti-join per round
+            single = (
+                frontier_hint <= s.salt_min_frontier or s.host_salts <= 1
+            ) and self.request_middlewares is None and batch_cap is None
+            if single:
+                from pyspark.sql.window import Window
 
-        # page_limit is the only global cap; concurrent_requests is a
-        # throughput knob in the reference (not a semantic boundary), so
-        # a round fetches every politeness-eligible row.
-        batch_cap = None
-        if s.page_limit is not None:
-            batch_cap = max(0, s.page_limit - pages_served_total)
-        batch = take_batch(ranked, order, batch_cap).select(
-            *FRONTIER_COLS, "batch_rank"
-        )
-        if self.request_middlewares is not None:
-            batch = self.request_middlewares(batch)  # X2
-        batch = batch.localCheckpoint(eager=True)  # reused 5× below
+                w = Window.partitionBy("host").orderBy(*order)
+                ranked_all = (
+                    allowed.withColumn("__budget", budget)
+                    .withColumn("host_rank", F.row_number().over(w))
+                    .localCheckpoint(eager=True)
+                )
+                batch = (
+                    ranked_all.filter(F.col("host_rank") <= F.col("__budget"))
+                    .select(*FRONTIER_COLS)
+                    .withColumn("batch_rank", F.lit(None).cast("int"))
+                )
+                # over-budget rows stay queued; budget<=0 hosts (lifetime
+                # cap exhausted) are retired; robots-blocked rows never
+                # entered ranked_all → retired
+                leftover = ranked_all.filter(
+                    (F.col("host_rank") > F.col("__budget"))
+                    & (F.col("__budget") > 0)
+                ).select(*FRONTIER_COLS)
+            else:
+                ranked = per_host_topk(
+                    allowed.withColumn("__budget", budget),
+                    F.col("__budget"),
+                    order,
+                    salts=s.host_salts,
+                )
+
+        if batch is None:
+            batch = take_batch(ranked, order, batch_cap).select(
+                *FRONTIER_COLS, "batch_rank"
+            )
+            if self.request_middlewares is not None:
+                batch = self.request_middlewares(batch)  # X2
+            batch = batch.localCheckpoint(eager=True)  # reused 5× below
         _mark("rank+batch")
 
-        # rows that were politeness-deferred or over page_limit stay queued
-        leftover = ready.join(
-            batch.select("url_hash"), "url_hash", "left_anti"
-        ).select(*FRONTIER_COLS)
-        if self.robots is not None and s.respect_robots_txt:
-            # robots-blocked rows are retired from the frontier (they can
-            # never become fetchable), else they would loop forever
-            leftover = robots_filter(leftover, self.robots)
+        if leftover is None:
+            # rows that were politeness-deferred or over page_limit stay
+            # queued
+            leftover = ready.join(
+                batch.select("url_hash"), "url_hash", "left_anti"
+            ).select(*FRONTIER_COLS)
+            if self.robots is not None and s.respect_robots_txt:
+                # robots-blocked rows are retired from the frontier (they
+                # can never become fetchable), else they would loop forever
+                leftover = robots_filter(leftover, self.robots)
 
-        # capped-out hosts: budget<=0 rows must also be retired from leftover
-        if s.max_requests_per_domain is not None:
-            leftover = self._with_served(leftover, served)
-            leftover = leftover.filter(
-                self._host_budget_col(served) > 0
-            ).drop("__served")
+            # capped-out hosts: budget<=0 rows must also be retired from
+            # leftover
+            if s.max_requests_per_domain is not None:
+                leftover = self._with_served(leftover, served)
+                leftover = leftover.filter(
+                    self._host_budget_col(served) > 0
+                ).drop("__served")
 
         # ---- fetch (J2) + route ----
         fetched = fetch_join(batch, self.pages)
@@ -622,6 +660,14 @@ class CrawlEngine:
         served = self.store.load_host_served(last) if last > 0 else None
         pages_served = stats.requests
         rnd = last
+        # frontier-size hint for the adaptive single-window budget rank:
+        # counted once, then tracked arithmetically (never undercounts —
+        # retired rows only shrink the real frontier below the hint)
+        fhint = None
+        delay = max(self.settings.domain_delay_ms,
+                    self.settings.download_delay_ms)
+        if delay > 0 or self.settings.max_requests_per_domain is not None:
+            fhint = frontier.count()
         while rnd < max_rounds:
             if (
                 self.settings.page_limit is not None
@@ -631,7 +677,14 @@ class CrawlEngine:
             if frontier.isEmpty():
                 break
             committed = rnd + 1
-            m = self._run_round(committed, frontier, served, pages_served)
+            m = self._run_round(
+                committed, frontier, served, pages_served,
+                frontier_hint=fhint if fhint is not None else 1 << 62,
+            )
+            if fhint is not None:
+                fhint = max(
+                    0, fhint - m["requests"] + m["new_urls"] + m["retries"]
+                )
             stats.record(m)
             if self.signals is not None:
                 self.signals.emit_round(m)

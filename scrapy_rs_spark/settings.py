@@ -46,6 +46,11 @@ class Settings:
     host_salts: int = 4  # default salt fan-out for hot hosts
     round_duration_ms: int = 10_000  # politeness budget discretization window
     seen_compact_every: int = 16  # fold seen deltas every N rounds
+    # frontier size below which the per-host budget rank runs as ONE
+    # window (batch + leftover split from a single checkpointed rank, no
+    # anti-join) — skew is bounded by the threshold itself; above it the
+    # salted two-phase rank guards hot hosts
+    salt_min_frontier: int = 1_000_000
     use_bloom_sidecar: bool = False  # per-bucket bloom pre-filter (north rule)
     bloom_bits_per_bucket: int = 1 << 20
 

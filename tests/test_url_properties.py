@@ -7,8 +7,12 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from scrapy_rs_spark.functions.url import (
+    _ANY_DOT_SEG,
+    _AFTER_LAST_SLASH,
+    _CANON_REL_BASE,
     _FAST_HREF,
     _DOT_SEG,
+    _REL_HREF,
     canonicalize,
     resolve,
 )
@@ -60,6 +64,37 @@ def test_urljoin_fast_path_equals_exact(href):
     exact = resolve(base, href)
     if is_fast:
         assert exact == "http://mocksite.test" + href, (href, exact)
+
+
+_rel_bases = st.sampled_from(
+    [
+        "http://mocksite.test/3",
+        "http://a.test/",
+        "https://h1.h2.org/dir/page.html",
+        "http://x.test/a/b/c/",
+        "HTTP://Upper.test/a",  # non-canonical: must NOT take the fast path
+        "http://p.test:8080/a/b",  # explicit port: exact path only
+        "http://q.test/a?x=1/y",  # query in base: exact path only
+    ]
+)
+
+
+@given(_rel_bases, _path_chars)
+@settings(max_examples=400, deadline=None)
+def test_urljoin_relative_fast_path_equals_exact(base, href):
+    """The vectorized relative fast path (dir(base) + href) must agree
+    with the exact urljoin+canonicalize path whenever its guard admits
+    the (base, href) pair — the same predicate urljoin_udf applies."""
+    is_rel_fast = (
+        _REL_HREF.match(href) is not None
+        and _ANY_DOT_SEG.search(href) is None
+        and not (_FAST_HREF.match(href) and not _DOT_SEG.search(href))
+        and _CANON_REL_BASE.match(base) is not None
+        and _DOT_SEG.search(base) is None
+    )
+    if is_rel_fast:
+        base_dir = _AFTER_LAST_SLASH.sub("", base)
+        assert resolve(base, href) == base_dir + href, (base, href)
 
 
 @given(st.text(min_size=0, max_size=40))
