@@ -270,3 +270,50 @@ def test_settings_from_py_and_toml(tmp_path):
     assert y.scheduler_type == "domain_group"
     assert y.max_depth == 4
     assert y.respect_robots_txt is False
+
+
+def test_monitoring_snapshot_and_http(spark, tmp_path):
+    """Monitoring parity (reference monitoring/src/{metrics,server,
+    dashboard}.rs): snapshot totals/rates from committed rounds, served
+    over HTTP without touching executors."""
+    import json as _json
+    import urllib.request
+
+    from scrapy_rs_spark.monitoring import CrawlMonitor
+
+    pages = _pages(
+        spark,
+        [
+            ("http://mon.test/a", 200, b"<html>a</html>", None),
+            ("http://mon.test/b", 404, None, None),
+        ],
+    )
+    eng = CrawlEngine(
+        spark, pages, Settings(scheduler_type="breadth_first"),
+        store_path=str(tmp_path / "mon"),
+    )
+    eng.run(["http://mon.test/a", "http://mon.test/b"])
+    mon = CrawlMonitor(eng.store)
+    snap = mon.snapshot()
+    assert snap["totals"]["requests"] == 2
+    assert snap["totals"]["items"] == 1
+    assert snap["totals"]["errors"] == 1
+    assert 0 < snap["rates"]["success_rate"] <= 1
+    port = mon.serve()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10
+        ) as r:
+            served = _json.load(r)
+        assert served["totals"] == snap["totals"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10
+        ) as r:
+            html = r.read().decode()
+        assert "Crawl dashboard" in html and "requests" in html
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=10
+        ) as r:
+            assert _json.load(r)["status"] == "ok"
+    finally:
+        mon.stop()
