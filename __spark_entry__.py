@@ -370,6 +370,23 @@ def _q_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(minhash_signatures(both, bands=8))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected-component dedup clustering over LSH candidate pairs —
+    the keep-one-per-cluster step after pair generation. Iterative
+    min-label propagation vs a DuckDB recursive CTE."""
+    from scrapy_rs_spark.operators.textdedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    pairs = lsh_candidate_pairs(minhash_signatures(both, bands=8))
+    return dedup_clusters(pairs)
+
+
 def _q_simhash(spark, sf_dir):
     from scrapy_rs_spark.operators.textdedup import simhash
 
@@ -615,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_pairs": _q_lsh_pairs,
         "simhash": _q_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -758,6 +776,24 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
             AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id""",
+        "dedup_clusters": f"""
+WITH RECURSIVE docs2 AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text FROM documents),
+{_words_cte_duck('docs2')},{_SHINGLES_DUCK},
+sigs AS (SELECT doc_id, CAST({h('shingle')} % 8 AS INT) AS band,
+                MIN(md5(shingle)) AS sig
+         FROM shingles GROUP BY doc_id, band),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+          WHERE a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lab) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node""",
         "ngram_jaccard": f"""
 WITH {_words_cte_duck()},{_SHINGLES_DUCK},
 sh AS (SELECT DISTINCT doc_id AS id, shingle FROM shingles),

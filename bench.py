@@ -233,7 +233,11 @@ def main() -> None:
     # not share one scheduler/block manager — see BASELINE.md).
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        pages = max(CRAWL_PAGES, 1_000_000)
+        # sized so parallel work dominates the ~25 s per-crawl serial
+        # floor (driver orchestration/commits, Amdahl fit in
+        # BASELINE.md) — at 1M pages the floor is ~30% of the 8-core
+        # run and masks true scaling; at 2M it is ~15%
+        pages = max(CRAWL_PAGES, 2_000_000)
         c_small = run_crawl(f"local[{n}]", pages, pin_cpus=n)
         c_big = run_crawl(f"local[{4 * n}]", pages, pin_cpus=4 * n)
         eff = round(

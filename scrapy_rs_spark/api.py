@@ -11,6 +11,15 @@ The spider's parse hook is the only user code on the hot path; it runs
 as an Arrow pandas UDF (Spider.parse_text / parse_links are plain
 per-document Python callables, batch-wrapped for you — or pass
 ready-made pandas UDFs via text_udf/links_udf).
+
+Compatibility note — per-record PyRequest/PyResponse objects
+(python/src/lib.rs:33-64) are deliberately NOT mirrored: a request here
+is a frontier ROW and a response is a fetched ROW; anything the
+reference exposes as object attributes (url, method, body, cookies,
+headers, meta, status, depth) exists as a column of the same name, and
+per-record logic becomes a column expression or an Arrow-batched UDF
+over those columns. Code that loops over response objects translates
+to a transform on the DataFrame instead (see operators/middleware.py).
 """
 
 from __future__ import annotations

@@ -142,6 +142,72 @@ def simhash(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = the minimum doc id in the component (the keeper a
+    dedup pass retains; everything else in the cluster is dropped).
+
+    The step a real pipeline runs AFTER pair generation (exact/minhash/
+    simhash/embedding pairs all feed it). Iterative min-label
+    propagation as DataFrame jobs: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds — near-dup clusters are shallow, so
+    typically 2-4. Each round is one equi-join + partial-agg shuffle on
+    node id; labels are checkpointed per round so lineage stays flat.
+    Convergence is detected with one small count per round; max_iters
+    bounds pathological chains."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

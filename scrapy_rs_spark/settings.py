@@ -51,7 +51,11 @@ class Settings:
     # anti-join) — skew is bounded by the threshold itself; above it the
     # salted two-phase rank guards hot hosts
     salt_min_frontier: int = 1_000_000
-    use_bloom_sidecar: bool = False  # per-bucket bloom pre-filter (north rule)
+    # per-bucket bloom pre-filter (north rule). NOTE: the sidecar writes
+    # per-bucket .npy files under <store>/bloom — on a real cluster the
+    # store path MUST be shared storage (HDFS/S3/NFS) visible to every
+    # executor, same as the store itself
+    use_bloom_sidecar: bool = False
     bloom_bits_per_bucket: int = 1 << 20
 
     # ---- reference-style flat-key loading (src/settings.rs:103-108) ----

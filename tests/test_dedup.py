@@ -76,3 +76,25 @@ def test_bloom_sidecar_prefilter_is_exact(spark, tmp_path):
         spark.createDataFrame([(h,) for h in seen_hashes], "url_hash BIGINT")
     )
     assert tagged.filter(~F.col("__maybe_seen")).count() == 0
+
+
+def test_dedup_clusters_connected_components(spark):
+    """dedup_clusters: min-label propagation finds components — chain,
+    triangle, and a 2-cluster graph; keeper = min id per component."""
+    from scrapy_rs_spark.operators.textdedup import dedup_clusters
+
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),
+            (10, 11), (11, 12), (10, 12),
+            (20, 21),
+        ],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
