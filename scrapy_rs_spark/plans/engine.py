@@ -120,6 +120,16 @@ class CrawlEngine:
         self.spark = spark
         self.pages = pages
         self.settings = settings or Settings()
+        # robots: a ROBOTS_SCHEMA DataFrame, or "auto" to parse
+        # /robots.txt rows out of the pages table (sources/robots.py) —
+        # opt-in because it adds a pages scan at construction; the
+        # resulting policy table is broadcast into every round's filter
+        if isinstance(robots, str) and robots == "auto":
+            from scrapy_rs_spark.sources.robots import robots_from_pages
+
+            robots = robots_from_pages(
+                pages, self.settings.user_agent
+            ).localCheckpoint(eager=True)
         self.robots = robots
         # X1: user parse hooks (Arrow pandas UDFs); defaults = pinned
         # extractors. X2-X4: ordered transform chains
@@ -228,6 +238,13 @@ class CrawlEngine:
             # fast path: no politeness, no cap → no per-host ranking at
             # all (saves two Window shuffles per round)
             ranked = allowed
+            if batch_cap is None and self.request_middlewares is None:
+                # the batch takes EVERY eligible row (no cap, no budget,
+                # no middleware that could drop rows) → nothing defers
+                # to the next round; robots-blocked rows are retired by
+                # construction. Skip the frontier-sized anti-join that
+                # would only prove leftover is empty.
+                leftover = ready.limit(0).select(*FRONTIER_COLS)
         else:
             allowed = self._with_served(allowed, served)
             budget = self._host_budget_col(served)

@@ -1,0 +1,116 @@
+"""robots.txt parsing (RFC 9309 subset + Crawl-delay) → policy table →
+J3 filter end-to-end. The reference carries only a flag; SURVEY J3
+documents enforcement as our deviation."""
+
+import pyspark.sql.functions as F
+
+from scrapy_rs_spark.operators.scheduler import robots_filter
+from scrapy_rs_spark.sources.robots import (
+    parse_robots,
+    parse_robots_body,
+    robots_from_pages,
+)
+
+ROBOTS = """\
+# comment line
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: *
+Disallow: /admin/
+Disallow: /tmp/
+Crawl-delay: 2
+Allow: /admin/public
+Disallow:
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_parse_robots_body_star_group():
+    out = parse_robots_body(ROBOTS, "crawlspark/0.1")
+    assert out["disallow"] == ["/admin/", "/tmp/"]
+    assert out["crawl_delay_ms"] == 2000
+
+
+def test_parse_robots_body_specific_agent_wins():
+    out = parse_robots_body(ROBOTS, "Mozilla/5.0 compatible; Googlebot/2.1")
+    assert out["disallow"] == ["/google-only/"]
+    assert out["crawl_delay_ms"] is None
+    bad = parse_robots_body(ROBOTS, "badbot")
+    assert bad["disallow"] == ["/"]
+
+
+def test_parse_robots_body_edge_cases():
+    assert parse_robots_body(None) == {"disallow": [], "crawl_delay_ms": None}
+    assert parse_robots_body("")["disallow"] == []
+    # consecutive User-agent lines share one rule group
+    multi = "User-agent: a\nUser-agent: *\nDisallow: /x/\n"
+    assert parse_robots_body(multi, "anything")["disallow"] == ["/x/"]
+
+
+def test_parse_robots_df_and_filter(spark):
+    policies = parse_robots(
+        spark.createDataFrame(
+            [("h1.test", ROBOTS), ("h2.test", None)],
+            "host STRING, body STRING",
+        )
+    )
+    rows = {r.host: r for r in policies.collect()}
+    assert rows["h1.test"].disallow_prefixes == ["/admin/", "/tmp/"]
+    assert rows["h1.test"].crawl_delay_ms == 2000
+    assert rows["h2.test"].disallow_prefixes == []
+
+    frontier = spark.createDataFrame(
+        [
+            ("http://h1.test/admin/x", "h1.test"),
+            ("http://h1.test/ok", "h1.test"),
+            ("http://h2.test/admin/x", "h2.test"),
+        ],
+        "url STRING, host STRING",
+    ).withColumn("url_canon", F.col("url"))
+    kept = {r.url for r in robots_filter(frontier, policies).collect()}
+    assert kept == {"http://h1.test/ok", "http://h2.test/admin/x"}
+
+
+def test_robots_from_pages(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://h1.test/robots.txt", bytearray(ROBOTS.encode())),
+            ("http://h1.test/page", bytearray(b"<html>x</html>")),
+        ],
+        "url STRING, html BINARY",
+    )
+    rows = {r.host: r for r in robots_from_pages(pages).collect()}
+    assert set(rows) == {"h1.test"}
+    assert rows["h1.test"].disallow_prefixes == ["/admin/", "/tmp/"]
+
+
+def test_engine_robots_auto(spark, tmp_path):
+    """CrawlEngine(robots='auto'): policies parsed from the pages table
+    gate the crawl — a disallowed link is never fetched."""
+    from scrapy_rs_spark.plans.engine import CrawlEngine
+    from scrapy_rs_spark.settings import Settings
+
+    body = b'<html><body><a href="/admin/x">a</a><a href="/ok">o</a></body></html>'
+    rows = [
+        ("http://ra.test/robots.txt", 200, bytearray(b"User-agent: *\nDisallow: /admin/\n")),
+        ("http://ra.test/start", 200, bytearray(body)),
+        ("http://ra.test/admin/x", 200, bytearray(b"<html>secret</html>")),
+        ("http://ra.test/ok", 200, bytearray(b"<html>fine</html>")),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url STRING, status INT, html BINARY"
+    ).withColumn("headers", F.lit(None).cast("map<string,string>"))
+    eng = CrawlEngine(
+        spark,
+        pages,
+        Settings(scheduler_type="breadth_first", max_depth=2),
+        robots="auto",
+        store_path=str(tmp_path / "ra"),
+    )
+    eng.run(["http://ra.test/start"])
+    fetched = {r.url for r in eng.items().select("url").collect()}
+    assert "http://ra.test/ok" in fetched
+    assert "http://ra.test/admin/x" not in fetched
