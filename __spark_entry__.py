@@ -555,6 +555,43 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _q_latest_snapshot(spark, sf_dir):
+    """Snapshot selection: newest row per key (multi-capture pages
+    table semantics, SURVEY §2.3) — events stand in as captures."""
+    from scrapy_rs_spark.operators.curation import latest_snapshot
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    out = latest_snapshot(
+        ev, url_col="user_id", ts_col="ts",
+        tiebreak=[F.col("event_id").desc()],
+    )
+    return out.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("epoch_s")
+    )
+
+
+def _q_split_by_hash(spark, sf_dir):
+    """Deterministic train/val/test split: membership is a pure hash of
+    the key, reproducible across engines and runs."""
+    from scrapy_rs_spark.operators.curation import split_by_hash
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    out = split_by_hash(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
+    )
+    return out.select("doc_id", "split")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Streaming sequence packing: fixed-token-budget bins per
+    hash-group via partitioned cumulative sums (never a global
+    window)."""
+    from scrapy_rs_spark.operators.curation import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return pack_sequences(docs, max_tokens=500, n_groups=8)
+
+
 def _q_dynamic_item_fields(spark, sf_dir):
     """DynamicItem columnar surface (reference core/src/item.rs:28-36):
     arbitrary extracted fields ride as MAP<STRING,STRING> on items;
@@ -647,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_lsh": _q_neardup_lsh,
         "multimodal_decode": _q_multimodal_decode,
         "dynamic_item_fields": _q_dynamic_item_fields,
+        "latest_snapshot": _q_latest_snapshot,
+        "split_by_hash": _q_split_by_hash,
+        "pack_sequences": _q_pack_sequences,
         "crawl_bfs": _q_crawl_bfs,
     }
 
@@ -882,6 +922,32 @@ FROM documents
 UNION ALL
 SELECT doc_id, 'head' AS key, substr(text, 1, 16) AS value
 FROM documents""",
+        "latest_snapshot": """
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1""",
+        "split_by_hash": f"""
+WITH b AS (SELECT doc_id,
+       {h("'split' || chr(0) || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+       FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
+        "pack_sequences": f"""
+WITH g AS (SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST({h('CAST(doc_id AS VARCHAR)')} % 8 AS INT) AS group_id
+       FROM documents)
+SELECT doc_id, n_tokens, group_id,
+       CAST(floor(COALESCE(SUM(n_tokens) OVER
+           (PARTITION BY group_id ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 500.0) AS BIGINT) AS bin_id
+FROM g""",
         "crawl_bfs": """
 WITH RECURSIVE edges AS (
   SELECT src, (src + k) % 50 AS dst

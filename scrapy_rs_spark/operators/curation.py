@@ -1,0 +1,123 @@
+"""Corpus-curation operators a training-data pipeline runs between the
+crawl and the tokenizer: snapshot selection, deterministic dataset
+splits, and sequence packing.
+
+All three are pure DataFrame compositions with exact SQL oracles —
+no UDFs, no nondeterminism (splits and packing key off md5-derived
+h32, never rand()), so results are reproducible run-to-run and across
+engines.
+
+Scale notes:
+  * latest_snapshot: Window partitioned by url — at 10^10 rows the
+    partition key is the url itself, so no hot partitions (each url has
+    a handful of captures).
+  * split_by_hash: one codegen'd projection, no shuffle; split
+    membership is a pure function of the key, so re-runs (and late
+    additions) never reshuffle existing assignments.
+  * pack_sequences: cumulative sums run per hash-group (n_groups
+    partitions of bounded size), never a global window — a global
+    cumsum would serialize 10^10 rows onto one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scrapy_rs_spark.functions.analysis import h32, token_count_ws
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak: list[Column] | None = None,
+) -> DataFrame:
+    """Keep the newest capture per url (Common-Crawl dumps carry
+    multiple captures; SURVEY §2.3: snapshot selection is a
+    row_number, not an as-of join). Pass tiebreak columns when
+    (url, ts) is not unique, to keep the winner deterministic."""
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).desc(), *(tiebreak or [])
+    )
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: bucket = h32(salt||key) %
+    10000, split = the range the bucket falls in (cumulative
+    fractions, insertion order). Membership is a pure function of the
+    key — adding rows later never moves existing ones, and the same
+    doc always lands in the same split on every engine."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.pmod(
+        h32(F.concat(F.lit(salt), F.lit("\x00"), F.col(key_col).cast("string"))),
+        F.lit(10_000),
+    )
+    expr: Column | None = None
+    upper = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        upper += fractions[name]
+        cond = bucket < F.lit(int(round(upper * 10_000)))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    n_groups: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming sequence packing: assign docs to fixed-token-budget
+    bins for training-batch assembly.
+
+    Semantics (deterministic, SQL-expressible): docs are processed in
+    id order within hash-groups; a doc's bin is
+    floor(exclusive_prefix_tokens / max_tokens) — i.e. bins are cut
+    wherever the running token total crosses a budget boundary. A bin
+    may overflow by at most one doc (the standard streaming-pack
+    tradeoff; exact bin-packing is NP-hard and order-dependent greedy
+    packers can't be reproduced across partitionings).
+
+    Output: (doc_id, n_tokens, group_id, bin_id). bin identity =
+    (group_id, bin_id)."""
+    grouped = docs.select(
+        F.col(id_col),
+        token_count_ws(text_col).cast("bigint").alias("n_tokens"),
+        F.pmod(h32(F.col(id_col).cast("string")), F.lit(n_groups))
+        .cast("int")
+        .alias("group_id"),
+    )
+    w = (
+        Window.partitionBy("group_id")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return grouped.withColumn(
+        "bin_id", F.floor(prefix / F.lit(max_tokens)).cast("bigint")
+    )
