@@ -158,9 +158,19 @@ def run_crawl(master: str, pages_n: int, pin_cpus: int | None = None) -> dict:
         cmd,
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=5400,
     )
-    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    # the LAST JSON line: the JVM occasionally prints GC warnings to
+    # stdout after the result (observed: GCLocker retry warnings at 4M
+    # pages), so "last line" alone is not the result
+    line = next(
+        (
+            ln
+            for ln in reversed(out.stdout.strip().splitlines())
+            if ln.startswith("{")
+        ),
+        "",
+    )
     try:
         res = json.loads(line)
     except Exception:
@@ -233,11 +243,12 @@ def main() -> None:
     # not share one scheduler/block manager — see BASELINE.md).
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        # sized so parallel work dominates the ~25 s per-crawl serial
+        # sized so parallel work dominates the ~35-45 s per-crawl serial
         # floor (driver orchestration/commits, Amdahl fit in
-        # BASELINE.md) — at 1M pages the floor is ~30% of the 8-core
-        # run and masks true scaling; at 2M it is ~15%
-        pages = max(CRAWL_PAGES, 2_000_000)
+        # BASELINE.md) — at 1M pages the floor is ~40% of the 8-core
+        # wall and masks true scaling (measured 0.70); at 4M it is ~13%
+        # and efficiency reflects the data-dominated regime (0.83)
+        pages = max(CRAWL_PAGES, 4_000_000)
         c_small = run_crawl(f"local[{n}]", pages, pin_cpus=n)
         c_big = run_crawl(f"local[{4 * n}]", pages, pin_cpus=4 * n)
         eff = round(
