@@ -102,27 +102,52 @@ def apply_enqueue_filters(df: DataFrame, settings: Settings) -> DataFrame:
 
 
 def robots_filter(df: DataFrame, robots: DataFrame) -> DataFrame:
-    """RFC 9309 prefix-match Disallow enforcement.
+    """RFC 9309 prefix-match Disallow/Allow enforcement.
 
     Broadcast-joins the per-host policy table, then keeps rows whose
-    canonical path matches no disallow prefix. (Documented extension:
-    the reference carries only a respect_robots_txt flag,
+    canonical path is not blocked. With an `allow_prefixes` column
+    present, the RFC's longest-match rule applies: blocked iff the
+    longest matching Disallow prefix is strictly longer than the
+    longest matching Allow prefix (ties → allow, the less restrictive
+    reading). Without it, any matching Disallow blocks. (Documented
+    extension: the reference carries only a respect_robots_txt flag,
     /root/reference/engine/src/config/mod.rs:45-46.)"""
-    policy = robots.select(
+    has_allow = "allow_prefixes" in robots.columns
+    cols = [
         F.col("host").alias("__r_host"),
-        F.col("disallow_prefixes").alias("__r_prefixes"),
-    )
+        F.col("disallow_prefixes").alias("__r_dis"),
+    ]
+    if has_allow:
+        cols.append(F.col("allow_prefixes").alias("__r_allow"))
+    policy = robots.select(*cols)
     path = F.coalesce(
         F.expr("parse_url(url_canon, 'PATH')"), F.lit("/")
     )
     joined = df.join(
         F.broadcast(policy), df["host"] == policy["__r_host"], "left"
     )
-    blocked = F.exists(
-        F.coalesce(F.col("__r_prefixes"), F.array()),
-        lambda p: path.startswith(p),
-    )
-    return joined.filter(~blocked).drop("__r_host", "__r_prefixes")
+
+    def longest_match(arr: Column) -> Column:
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(
+                        F.coalesce(arr, F.array().cast("array<string>")),
+                        lambda p: path.startswith(p),
+                    ),
+                    lambda p: F.length(p),
+                )
+            ),
+            F.lit(0),
+        )
+
+    dis_len = longest_match(F.col("__r_dis"))
+    if has_allow:
+        blocked = dis_len > longest_match(F.col("__r_allow"))
+    else:
+        blocked = dis_len > F.lit(0)
+    out = joined.filter(~blocked).drop("__r_host", "__r_dis")
+    return out.drop("__r_allow") if has_allow else out
 
 
 def per_host_topk(

@@ -91,6 +91,9 @@ ROBOTS_SCHEMA = T.StructType(
         T.StructField(
             "disallow_prefixes", T.ArrayType(T.StringType()), True
         ),
+        T.StructField(
+            "allow_prefixes", T.ArrayType(T.StringType()), True
+        ),
         T.StructField("crawl_delay_ms", T.LongType(), True),
         T.StructField("max_concurrent", T.IntegerType(), True),
     ]

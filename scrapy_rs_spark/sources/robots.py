@@ -14,6 +14,8 @@ RFC 9309 subset (+ the de-facto Crawl-delay extension):
   * the most specific matching group wins: exact product token match
     beats '*'; within the winning group all Disallow values apply
   * empty Disallow = allow all (dropped); comments (#) stripped
+  * Allow prefixes are collected too — robots_filter applies the RFC's
+    longest-match rule (ties → allow)
   * Crawl-delay: seconds → crawl_delay_ms
 
 Parsing runs as an Arrow-batched pandas UDF over the (host, body)
@@ -30,20 +32,22 @@ from pyspark.sql.functions import pandas_udf
 
 
 def parse_robots_body(body: str | None, user_agent: str = "*") -> dict:
-    """One robots.txt body → {disallow: [prefixes], crawl_delay_ms}."""
+    """One robots.txt body → {disallow: [...], allow: [...],
+    crawl_delay_ms}."""
     if body is None:
-        return {"disallow": [], "crawl_delay_ms": None}
-    groups: list[tuple[list[str], list[str], float | None]] = []
+        return {"disallow": [], "allow": [], "crawl_delay_ms": None}
+    groups: list[tuple[list[str], list[str], list[str], float | None]] = []
     agents: list[str] = []
     rules: list[str] = []
+    allows: list[str] = []
     delay: float | None = None
     in_rules = False
 
     def flush():
-        nonlocal agents, rules, delay, in_rules
+        nonlocal agents, rules, allows, delay, in_rules
         if agents:
-            groups.append((agents, rules, delay))
-        agents, rules, delay, in_rules = [], [], None, False
+            groups.append((agents, rules, allows, delay))
+        agents, rules, allows, delay, in_rules = [], [], [], None, False
 
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -65,8 +69,12 @@ def parse_robots_body(body: str | None, user_agent: str = "*") -> dict:
                 delay = float(val)
             except ValueError:
                 pass
-        elif key in ("allow", "sitemap"):
-            in_rules = True  # recognized, not modeled (prefix filter only)
+        elif key == "allow":
+            in_rules = True
+            if val:
+                allows.append(val)
+        elif key == "sitemap":
+            in_rules = True  # recognized, not modeled
     flush()
 
     ua = user_agent.lower()
@@ -74,13 +82,16 @@ def parse_robots_body(body: str | None, user_agent: str = "*") -> dict:
     star = [g for g in groups if "*" in g[0]]
     chosen = exact if exact else star
     disallow: list[str] = []
+    allow: list[str] = []
     ms: float | None = None
-    for _, rls, dly in chosen:
+    for _, rls, alw, dly in chosen:
         disallow.extend(rls)
+        allow.extend(alw)
         if dly is not None:
             ms = dly
     return {
         "disallow": disallow,
+        "allow": allow,
         "crawl_delay_ms": None if ms is None else int(ms * 1000),
     }
 
@@ -95,7 +106,8 @@ def parse_robots(
     ua = user_agent
 
     @pandas_udf(
-        "disallow_prefixes ARRAY<STRING>, crawl_delay_ms BIGINT"
+        "disallow_prefixes ARRAY<STRING>, allow_prefixes ARRAY<STRING>,"
+        " crawl_delay_ms BIGINT"
     )
     def _parse(bodies: pd.Series) -> pd.DataFrame:
         parsed = bodies.map(
@@ -109,6 +121,7 @@ def parse_robots(
         return pd.DataFrame(
             {
                 "disallow_prefixes": parsed.map(lambda d: d["disallow"]),
+                "allow_prefixes": parsed.map(lambda d: d["allow"]),
                 "crawl_delay_ms": parsed.map(lambda d: d["crawl_delay_ms"]),
             }
         )
@@ -118,6 +131,7 @@ def parse_robots(
     ).select(
         "host",
         F.col("p.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("p.allow_prefixes").alias("allow_prefixes"),
         F.col("p.crawl_delay_ms").alias("crawl_delay_ms"),
         F.lit(None).cast("int").alias("max_concurrent"),
     )

@@ -31,6 +31,7 @@ Disallow: /
 def test_parse_robots_body_star_group():
     out = parse_robots_body(ROBOTS, "crawlspark/0.1")
     assert out["disallow"] == ["/admin/", "/tmp/"]
+    assert out["allow"] == ["/admin/public"]
     assert out["crawl_delay_ms"] == 2000
 
 
@@ -43,7 +44,9 @@ def test_parse_robots_body_specific_agent_wins():
 
 
 def test_parse_robots_body_edge_cases():
-    assert parse_robots_body(None) == {"disallow": [], "crawl_delay_ms": None}
+    assert parse_robots_body(None) == {
+        "disallow": [], "allow": [], "crawl_delay_ms": None
+    }
     assert parse_robots_body("")["disallow"] == []
     # consecutive User-agent lines share one rule group
     multi = "User-agent: a\nUser-agent: *\nDisallow: /x/\n"
@@ -65,13 +68,19 @@ def test_parse_robots_df_and_filter(spark):
     frontier = spark.createDataFrame(
         [
             ("http://h1.test/admin/x", "h1.test"),
+            ("http://h1.test/admin/public/page", "h1.test"),  # Allow wins
             ("http://h1.test/ok", "h1.test"),
             ("http://h2.test/admin/x", "h2.test"),
         ],
         "url STRING, host STRING",
     ).withColumn("url_canon", F.col("url"))
     kept = {r.url for r in robots_filter(frontier, policies).collect()}
-    assert kept == {"http://h1.test/ok", "http://h2.test/admin/x"}
+    # RFC longest-match: /admin/public (13) beats /admin/ (7)
+    assert kept == {
+        "http://h1.test/admin/public/page",
+        "http://h1.test/ok",
+        "http://h2.test/admin/x",
+    }
 
 
 def test_robots_from_pages(spark):
