@@ -185,6 +185,9 @@ def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
         ~fast
         & href_s.str.match(_REL_HREF, na=False)
         & ~href_s.str.contains(_ANY_DOT_SEG, na=True)
+        # urllib collapses empty path segments ('a//b' → quirky) —
+        # exact path only, same exclusion as the absolute fast path
+        & ~href_s.str.contains("//", regex=False, na=True)
         & base_s.str.match(_CANON_REL_BASE, na=False)
         & ~base_s.str.contains(_DOT_SEG, na=True)
     )

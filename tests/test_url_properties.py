@@ -88,6 +88,7 @@ def test_urljoin_relative_fast_path_equals_exact(base, href):
     is_rel_fast = (
         _REL_HREF.match(href) is not None
         and _ANY_DOT_SEG.search(href) is None
+        and "//" not in href
         and not (_FAST_HREF.match(href) and not _DOT_SEG.search(href))
         and _CANON_REL_BASE.match(base) is not None
         and _DOT_SEG.search(base) is None
