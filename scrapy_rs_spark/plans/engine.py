@@ -164,13 +164,44 @@ class CrawlEngine:
             )
 
     # ---- per-host budget for a round (politeness T1 + per-domain cap F6) ----
+    @property
+    def _has_host_delays(self) -> bool:
+        """True when the robots policy table carries per-host
+        Crawl-delay values (J6: host→politeness lookup). Cached; costs
+        one tiny job on the (small, broadcastable) policy table."""
+        if not hasattr(self, "_host_delays_flag"):
+            flag = False
+            if (
+                self.robots is not None
+                and self.settings.respect_robots_txt
+                and "crawl_delay_ms" in self.robots.columns
+            ):
+                flag = not self.robots.filter(
+                    F.col("crawl_delay_ms").isNotNull()
+                    & (F.col("crawl_delay_ms") > 0)
+                ).isEmpty()
+            self._host_delays_flag = flag
+        return self._host_delays_flag
+
     def _host_budget_col(self, served: DataFrame | None):
+        """Per-row budget: round_duration / effective delay, where the
+        effective delay is the LARGER of the host's robots Crawl-delay
+        (__host_delay, joined by _with_budget_inputs) and the global
+        configured delay — the conservative reading a polite crawler
+        takes; the per-domain lifetime cap further bounds it."""
         s = self.settings
         delay = max(s.domain_delay_ms, s.download_delay_ms)
-        politeness = (
-            max(1, s.round_duration_ms // delay) if delay > 0 else _UNLIMITED
+        eff_delay = F.greatest(
+            F.coalesce(F.col("__host_delay"), F.lit(0)).cast("bigint"),
+            F.lit(delay).cast("bigint"),
         )
-        budget = F.lit(politeness)
+        budget = F.when(
+            eff_delay > 0,
+            F.greatest(
+                F.lit(1),
+                (F.lit(s.round_duration_ms) / eff_delay).cast("int"),
+            ),
+        ).otherwise(F.lit(_UNLIMITED))
         if s.max_requests_per_domain is not None:
             cap_left = F.lit(s.max_requests_per_domain) - F.coalesce(
                 F.col("__served"), F.lit(0)
@@ -178,15 +209,36 @@ class CrawlEngine:
             budget = F.least(budget, cap_left)
         return budget
 
-    def _with_served(self, df: DataFrame, served: DataFrame | None) -> DataFrame:
+    def _with_budget_inputs(
+        self, df: DataFrame, served: DataFrame | None
+    ) -> DataFrame:
+        """Attach the columns _host_budget_col reads: __served (lifetime
+        per-host counts when a cap is set) and __host_delay (robots
+        Crawl-delay per host when present) — both via broadcast joins of
+        small tables."""
         if served is None or self.settings.max_requests_per_domain is None:
-            return df.withColumn("__served", F.lit(0))
-        s = served.select(
-            F.col("host").alias("__s_host"), F.col("served").alias("__served")
-        )
-        return df.join(
-            F.broadcast(s), df["host"] == s["__s_host"], "left"
-        ).drop("__s_host")
+            df = df.withColumn("__served", F.lit(0))
+        else:
+            s = served.select(
+                F.col("host").alias("__s_host"),
+                F.col("served").alias("__served"),
+            )
+            df = df.join(
+                F.broadcast(s), df["host"] == s["__s_host"], "left"
+            ).drop("__s_host")
+        if self._has_host_delays:
+            hd = self.robots.filter(
+                F.col("crawl_delay_ms").isNotNull()
+            ).select(
+                F.col("host").alias("__d_host"),
+                F.col("crawl_delay_ms").alias("__host_delay"),
+            )
+            df = df.join(
+                F.broadcast(hd), df["host"] == hd["__d_host"], "left"
+            ).drop("__d_host")
+        else:
+            df = df.withColumn("__host_delay", F.lit(None).cast("bigint"))
+        return df
 
     # ---- one round ----
     def _run_round(
@@ -231,7 +283,11 @@ class CrawlEngine:
             batch_cap = max(0, s.page_limit - pages_served_total)
 
         delay = max(s.domain_delay_ms, s.download_delay_ms)
-        unlimited = delay <= 0 and s.max_requests_per_domain is None
+        unlimited = (
+            delay <= 0
+            and s.max_requests_per_domain is None
+            and not self._has_host_delays
+        )
         batch = None
         leftover = None
         if unlimited:
@@ -246,7 +302,7 @@ class CrawlEngine:
                 # would only prove leftover is empty.
                 leftover = ready.limit(0).select(*FRONTIER_COLS)
         else:
-            allowed = self._with_served(allowed, served)
+            allowed = self._with_budget_inputs(allowed, served)
             budget = self._host_budget_col(served)
             # single-window budget path: on a frontier small enough that
             # per-host skew is bounded by the threshold itself, rank once
@@ -308,10 +364,10 @@ class CrawlEngine:
             # capped-out hosts: budget<=0 rows must also be retired from
             # leftover
             if s.max_requests_per_domain is not None:
-                leftover = self._with_served(leftover, served)
+                leftover = self._with_budget_inputs(leftover, served)
                 leftover = leftover.filter(
                     self._host_budget_col(served) > 0
-                ).drop("__served")
+                ).drop("__served", "__host_delay")
 
         # ---- fetch (J2) + route ----
         fetched = fetch_join(batch, self.pages)

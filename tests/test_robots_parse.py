@@ -123,3 +123,42 @@ def test_engine_robots_auto(spark, tmp_path):
     fetched = {r.url for r in eng.items().select("url").collect()}
     assert "http://ra.test/ok" in fetched
     assert "http://ra.test/admin/x" not in fetched
+
+
+def test_per_host_crawl_delay_budgets(spark, tmp_path):
+    """Robots Crawl-delay drives PER-HOST round budgets (J6/T1): with
+    round_duration 2000 ms, a 1000 ms Crawl-delay host serves 2 per
+    round while an unconstrained host drains immediately."""
+    from scrapy_rs_spark.plans.engine import CrawlEngine
+    from scrapy_rs_spark.settings import Settings
+
+    pages = spark.createDataFrame(
+        [
+            ("http://slow.test/robots.txt", 200,
+             bytearray(b"User-agent: *\nCrawl-delay: 1\n")),
+        ]
+        + [
+            (f"http://{h}.test/{i}", 200, bytearray(b"<html>p</html>"))
+            for h in ("slow", "fast")
+            for i in range(6)
+        ],
+        "url STRING, status INT, html BINARY",
+    ).withColumn("headers", F.lit(None).cast("map<string,string>"))
+    eng = CrawlEngine(
+        spark,
+        pages,
+        Settings(
+            scheduler_type="domain_group",
+            round_duration_ms=2000,
+            max_depth=0,
+        ),
+        robots="auto",
+        store_path=str(tmp_path / "hd"),
+    )
+    seeds = [f"http://{h}.test/{i}" for h in ("slow", "fast") for i in range(6)]
+    stats = eng.run(seeds)
+    per_round = {m["round"]: m["requests"] for m in stats.per_round}
+    # round 1: fast drains all 6, slow serves 2; rounds 2-3: slow 2+2
+    assert per_round[1] == 8
+    assert per_round[2] == 2 and per_round[3] == 2
+    assert stats.requests == 12
