@@ -21,13 +21,28 @@ from scrapy_rs_spark.settings import Settings
 
 
 def __getattr__(name):
-    # lazy: Spider/run_crawl pull in the engine stack
+    # lazy: these pull in the engine stack / optional surfaces
     if name in ("Spider", "run_crawl"):
         from scrapy_rs_spark import api
 
         return getattr(api, name)
+    if name == "CrawlEngine":
+        from scrapy_rs_spark.plans.engine import CrawlEngine
+
+        return CrawlEngine
+    if name == "CrawlMonitor":
+        from scrapy_rs_spark.monitoring import CrawlMonitor
+
+        return CrawlMonitor
     raise AttributeError(name)
 
 
-__all__ = ["build_session", "Settings", "Spider", "run_crawl"]
+__all__ = [
+    "build_session",
+    "Settings",
+    "Spider",
+    "run_crawl",
+    "CrawlEngine",
+    "CrawlMonitor",
+]
 __version__ = "0.1.0"
