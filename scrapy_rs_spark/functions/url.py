@@ -133,68 +133,100 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
 
 # fast-path detectors for hrefs where urljoin+canonicalize reduces to a
 # string concat: only chars canonicalize leaves untouched, no
-# percent-escapes, no dot segments, no query/fragment. Everything else
-# falls back to the exact python path.
+# percent-escapes, no dot segments. A '?query' tail of safe chars is
+# allowed (canonicalize leaves such queries byte-identical; the
+# reference's own urljoin cases include bare-query hrefs,
+# response.rs:317-329). Everything else falls back to the exact path.
 # ';' is excluded: urllib's urljoin treats it as legacy params syntax
 # (a trailing ';' is dropped), so ';' hrefs must take the exact path to
-# stay byte-identical with resolve() (hypothesis-found corner)
-_FAST_HREF = re.compile(r"^/[A-Za-z0-9_\-./~!$&'()*+,=:@]*$")
-# relative form: no leading '/', no ':' anywhere (scheme ambiguity)
-_REL_HREF = re.compile(r"^[A-Za-z0-9_\-.~!$&'()*+,=@][A-Za-z0-9_\-./~!$&'()*+,=@]*$")
+# stay byte-identical with resolve() (hypothesis-found corner).
+# The query tail requires ≥1 char: urljoin drops a bare trailing '?'
+# ('/a?' → '/a'), which a concat would keep.
+_QUERY_TAIL = r"(?:\?[A-Za-z0-9_\-./~!$&'()*+,=:@?]+)?"
+_FAST_HREF = re.compile(r"^/[A-Za-z0-9_\-./~!$&'()*+,=:@]*" + _QUERY_TAIL + "$")
+# relative form: no leading '/', no ':' in the PATH part (scheme
+# ambiguity — 'a:b' would parse as a scheme); ':' after '?' is safe
+_REL_HREF = re.compile(
+    r"^[A-Za-z0-9_\-.~!$&'()*+,=@][A-Za-z0-9_\-./~!$&'()*+,=@]*"
+    + _QUERY_TAIL + "$"
+)
+# bare-query href ('?page=2'): replaces the base's query, path untouched
+_BARE_QUERY_HREF = re.compile(r"^\?[A-Za-z0-9_\-./~!$&'()*+,=:@?]+$")
 _DOT_SEG = re.compile(r"/\.\.?(?:/|$)")
 _ANY_DOT_SEG = re.compile(r"(?:^|/)\.\.?(?:/|$)")
-_ORIGIN = re.compile(r"^(https?://[^/?#]+)")
-# base gate for the relative fast path: already-canonical http(s) URL —
-# lowercase host, no port (a non-canonical ':80' would survive the
-# concat but be stripped by the exact path), no userinfo, no escapes,
-# no query/fragment — so dir(base) + href is its own canonical form
+# origin gate for the absolute fast path: canonical scheme+host only —
+# lowercase host, no port/userinfo (a non-canonical ':80' or mixed-case
+# host would survive the concat but be rewritten by the exact path)
+_ORIGIN = re.compile(r"^(https?://[a-z0-9.\-]+)(?=[/?#]|$)")
+# base gate for the relative/bare-query fast paths: already-canonical
+# http(s) URL — lowercase host, no port, no userinfo, no escapes, no
+# query/fragment, and NO EMPTY PATH SEGMENTS: urllib's urljoin collapses
+# '//' in the base path when merging a relative href
+# ('http://h/a//b/' + 'c' → 'http://h/a/b/c'), so dir(base) + href
+# would mint a second identity for the same logical URL. Segments are
+# non-empty by construction here; '//' bases take the exact path.
 _CANON_REL_BASE = re.compile(
-    r"^https?://[a-z0-9.\-]+/[A-Za-z0-9_\-./~!$&'()*+,=:@]*$"
+    r"^https?://[a-z0-9.\-]+/"
+    r"(?:[A-Za-z0-9_\-.~!$&'()*+,=:@]+(?:/[A-Za-z0-9_\-.~!$&'()*+,=:@]+)*/?)?$"
 )
 _AFTER_LAST_SLASH = re.compile(r"[^/]*$")
 
 
 @pandas_udf(StringType())
 def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
-    """Vectorized resolve. The two dominant shapes on a real crawl are
+    """Vectorized resolve. The three dominant shapes on a real crawl are
     handled as pandas string ops:
 
-      * absolute-path hrefs ("/a/b") against any http(s) base →
-        origin + href
-      * relative-path hrefs ("a/b.html") against an already-canonical
-        base (the engine always passes url_canon) → dir(base) + href
+      * absolute-path hrefs ("/a/b", "/a?x=1") against a canonical
+        http(s) origin → origin + href
+      * relative-path hrefs ("a/b.html", "a/b?x=1") against an
+        already-canonical base (the engine always passes url_canon) →
+        dir(base) + href
+      * bare-query hrefs ("?page=2") against a canonical base →
+        base + href
 
-    Anything unusual (dot segments, %-escapes, queries, fragments,
-    other schemes, ';', non-canonical bases) takes the exact
-    urljoin+canonicalize path. Output is byte-identical either way
-    (tests/test_url_kernel.py and hypothesis cross-check the paths)."""
+    Anything unusual (dot segments, %-escapes, fragments, other
+    schemes, ';', empty path segments, non-canonical bases) takes the
+    exact urljoin+canonicalize path. Output is byte-identical either
+    way (tests/test_url_kernel.py and hypothesis cross-check the
+    paths). Dot-segment and '//' exclusions apply to the href's PATH
+    part only — a query like '?x=a//b' is left untouched by
+    canonicalize, so it is concat-safe."""
     href_s = href.astype("object")
     base_s = base.astype("object")
+    path_part = href_s.str.split("?", n=1).str[0]
     fast = (
         href_s.str.match(_FAST_HREF, na=False)
-        & ~href_s.str.contains(_DOT_SEG, na=True)
-        & ~href_s.str.contains("//", regex=False, na=True)
+        & ~path_part.str.contains(_DOT_SEG, na=True)
+        & ~path_part.str.contains("//", regex=False, na=True)
     )
     origin = base_s.str.extract(_ORIGIN, expand=False)
     fast &= origin.notna()
     out = pd.Series([None] * len(href_s), dtype="object", index=href_s.index)
     out[fast] = origin[fast] + href_s[fast]
+    base_ok = base_s.str.match(_CANON_REL_BASE, na=False) & ~base_s.str.contains(
+        _DOT_SEG, na=True
+    )
     # relative fast path: a real web corpus is mostly relative hrefs —
     # this keeps the parse round off the per-row python loop
     rel = (
         ~fast
         & href_s.str.match(_REL_HREF, na=False)
-        & ~href_s.str.contains(_ANY_DOT_SEG, na=True)
+        & ~path_part.str.contains(_ANY_DOT_SEG, na=True)
         # urllib collapses empty path segments ('a//b' → quirky) —
         # exact path only, same exclusion as the absolute fast path
-        & ~href_s.str.contains("//", regex=False, na=True)
-        & base_s.str.match(_CANON_REL_BASE, na=False)
-        & ~base_s.str.contains(_DOT_SEG, na=True)
+        & ~path_part.str.contains("//", regex=False, na=True)
+        & base_ok
     )
     if rel.any():
         base_dir = base_s[rel].str.replace(_AFTER_LAST_SLASH, "", regex=True)
         out[rel] = base_dir + href_s[rel]
-    for i in out.index[~(fast | rel)]:
+    # bare-query fast path ('?page=2' — ubiquitous pagination hrefs):
+    # a canonical base has no query, so resolution is base + href
+    qry = ~fast & ~rel & href_s.str.match(_BARE_QUERY_HREF, na=False) & base_ok
+    if qry.any():
+        out[qry] = base_s[qry] + href_s[qry]
+    for i in out.index[~(fast | rel | qry)]:
         out[i] = resolve(base_s[i], href_s[i])
     return out
 

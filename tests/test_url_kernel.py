@@ -48,6 +48,18 @@ JOIN_CORPUS = [
     ("https://example.com/a/b", "../c", "https://example.com/c"),
     ("https://example.com/a/b", "https://other.org/x", "https://other.org/x"),
     ("http://mocksite.test/3", "/7", "http://mocksite.test/7"),
+    # query-string hrefs (round-3: vectorized fast paths must stay
+    # byte-identical with the exact path on these ubiquitous shapes)
+    ("http://h.test/a/b", "?page=2", "http://h.test/a/b?page=2"),
+    ("http://h.test/a/b?q=old", "?new=1", "http://h.test/a/b?new=1"),
+    ("http://h.test/a/", "c/d?x=1:2", "http://h.test/a/c/d?x=1:2"),
+    ("http://h.test/x", "/p?x=1&y=2", "http://h.test/p?x=1&y=2"),
+    ("http://h.test/a/b", "c?x=a//b", "http://h.test/a/c?x=a//b"),
+    ("http://h.test/a/b", "/p?", "http://h.test/p"),  # bare '?' dropped
+    # empty path segment in base: urljoin collapses '//' on merge — the
+    # fast path must NOT fire (round-3 advice regression)
+    ("http://h.test/a//b/", "c", "http://h.test/a/b/c"),
+    ("http://h.test//x/", "y?q=1", "http://h.test/x/y?q=1"),
 ]
 
 

@@ -9,6 +9,7 @@ from hypothesis import strategies as st
 from scrapy_rs_spark.functions.url import (
     _ANY_DOT_SEG,
     _AFTER_LAST_SLASH,
+    _BARE_QUERY_HREF,
     _CANON_REL_BASE,
     _FAST_HREF,
     _DOT_SEG,
@@ -16,6 +17,12 @@ from scrapy_rs_spark.functions.url import (
     canonicalize,
     resolve,
 )
+
+
+def _href_path_part(href: str) -> str:
+    """The path part of an href (before any '?') — the UDF's dot-segment
+    and '//' exclusions apply to this part only."""
+    return href.split("?", 1)[0]
 
 _hosts = st.sampled_from(
     ["example.com", "EXAMPLE.com", "a-b.test", "xn--test.de", "h1.h2.org"]
@@ -55,11 +62,12 @@ def test_urljoin_fast_path_equals_exact(href):
     exact urljoin+canonicalize path whenever its guard admits the href
     — the same predicate urljoin_udf applies."""
     base = "http://mocksite.test/3"
+    pp = _href_path_part(href)
     is_fast = (
         href.startswith("/")
         and _FAST_HREF.match(href) is not None
-        and _DOT_SEG.search(href) is None
-        and "//" not in href
+        and _DOT_SEG.search(pp) is None
+        and "//" not in pp
     )
     exact = resolve(base, href)
     if is_fast:
@@ -75,6 +83,12 @@ _rel_bases = st.sampled_from(
         "HTTP://Upper.test/a",  # non-canonical: must NOT take the fast path
         "http://p.test:8080/a/b",  # explicit port: exact path only
         "http://q.test/a?x=1/y",  # query in base: exact path only
+        # empty path segments: urljoin collapses '//' when merging a
+        # relative href, so these MUST be rejected by _CANON_REL_BASE
+        # (they are reachable as url_canon — canonicalize keeps '//')
+        "http://e.test/a//b/",
+        "http://e.test//x/",
+        "http://e.test/a//",
     ]
 )
 
@@ -85,17 +99,47 @@ def test_urljoin_relative_fast_path_equals_exact(base, href):
     """The vectorized relative fast path (dir(base) + href) must agree
     with the exact urljoin+canonicalize path whenever its guard admits
     the (base, href) pair — the same predicate urljoin_udf applies."""
+    pp = _href_path_part(href)
     is_rel_fast = (
         _REL_HREF.match(href) is not None
-        and _ANY_DOT_SEG.search(href) is None
-        and "//" not in href
-        and not (_FAST_HREF.match(href) and not _DOT_SEG.search(href))
+        and _ANY_DOT_SEG.search(pp) is None
+        and "//" not in pp
+        and not (_FAST_HREF.match(href) and not _DOT_SEG.search(pp))
         and _CANON_REL_BASE.match(base) is not None
         and _DOT_SEG.search(base) is None
     )
     if is_rel_fast:
         base_dir = _AFTER_LAST_SLASH.sub("", base)
         assert resolve(base, href) == base_dir + href, (base, href)
+
+
+@given(_rel_bases, _path_chars)
+@settings(max_examples=400, deadline=None)
+def test_urljoin_bare_query_fast_path_equals_exact(base, query):
+    """The bare-query fast path (base + '?query') must agree with the
+    exact path whenever its guard admits the (base, href) pair."""
+    href = "?" + query
+    is_qry_fast = (
+        _BARE_QUERY_HREF.match(href) is not None
+        and _CANON_REL_BASE.match(base) is not None
+        and _DOT_SEG.search(base) is None
+    )
+    if is_qry_fast:
+        assert resolve(base, href) == base + href, (base, href)
+
+
+def test_canon_rel_base_rejects_empty_segments():
+    """Regression (round-3 advice): '//' in the base path must fall to
+    the exact path — dir(base)+href would mint a second identity for
+    the same logical URL (urljoin collapses empty segments on merge)."""
+    assert _CANON_REL_BASE.match("http://h.test/a//b/") is None
+    assert _CANON_REL_BASE.match("http://h.test//x/") is None
+    assert _CANON_REL_BASE.match("http://h.test/a/b/") is not None
+    assert _CANON_REL_BASE.match("http://h.test/") is not None
+    # no-path base must not fast-path either (dir() would eat the host)
+    assert _CANON_REL_BASE.match("http://h.test") is None
+    # the concrete advice case: both resolutions give ONE identity
+    assert resolve("http://h.test/a//b/", "c") == "http://h.test/a/b/c"
 
 
 @given(st.text(min_size=0, max_size=40))
