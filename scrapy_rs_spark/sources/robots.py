@@ -74,7 +74,12 @@ def parse_robots_body(body: str | None, user_agent: str = "*") -> dict:
             if val:
                 allows.append(val)
         elif key == "sitemap":
-            in_rules = True  # recognized, not modeled
+            # recognized, not modeled. Per RFC 9309 §2.2.2 non-group
+            # lines (sitemap, unknown keys) do NOT terminate a
+            # user-agent line group — 'User-agent: a / Sitemap: ... /
+            # User-agent: b / Disallow: /' is ONE group of two agents,
+            # so sitemap must not flip in_rules
+            pass
     flush()
 
     ua = user_agent.lower()
@@ -148,7 +153,10 @@ def robots_from_pages(
     robots_rows = pages.filter(
         F.col("url").endswith("/robots.txt")
     ).select(
-        F.expr("parse_url(url, 'HOST')").alias("host"),
+        # lowercase: frontier host comes from lowercased url_canon — a
+        # raw-cased pages url would yield a policy row that never joins
+        # in robots_filter (silently disabling enforcement for the host)
+        F.lower(F.expr("parse_url(url, 'HOST')")).alias("host"),
         F.col("html").alias("body"),
     )
     return parse_robots(robots_rows, user_agent)

@@ -162,3 +162,39 @@ def test_per_host_crawl_delay_budgets(spark, tmp_path):
     assert per_round[1] == 8
     assert per_round[2] == 2 and per_round[3] == 2
     assert stats.requests == 12
+
+
+def test_sitemap_does_not_terminate_agent_group():
+    """RFC 9309 §2.2.2: non-group lines (Sitemap, unknown keys) do not
+    end a user-agent line group — agents a and b here share the
+    Disallow (round-3 advice regression)."""
+    body = (
+        "User-agent: a\n"
+        "Sitemap: http://x.test/sitemap.xml\n"
+        "User-agent: b\n"
+        "Disallow: /priv\n"
+    )
+    assert parse_robots_body(body, "a")["disallow"] == ["/priv"]
+    assert parse_robots_body(body, "b")["disallow"] == ["/priv"]
+    # a Disallow DOES start the rule section: the next User-agent opens
+    # a new group
+    body2 = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert parse_robots_body(body2, "a")["disallow"] == ["/x"]
+    assert parse_robots_body(body2, "b")["disallow"] == ["/y"]
+
+
+def test_robots_from_pages_lowercases_host(spark):
+    """A pages row with an uppercase host must still produce a policy
+    row that joins against the lowercased frontier host (round-3
+    advice regression — mismatch silently disabled enforcement)."""
+    from scrapy_rs_spark.sources.robots import robots_from_pages
+
+    pages = spark.createDataFrame(
+        [("http://UPPER.Test/robots.txt", 200,
+          bytearray(b"User-agent: *\nDisallow: /admin\n"))],
+        "url STRING, status INT, html BINARY",
+    )
+    rows = robots_from_pages(pages).collect()
+    assert len(rows) == 1
+    assert rows[0].host == "upper.test"
+    assert rows[0].disallow_prefixes == ["/admin"]
