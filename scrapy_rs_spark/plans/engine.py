@@ -183,30 +183,52 @@ class CrawlEngine:
             self._host_delays_flag = flag
         return self._host_delays_flag
 
-    def _host_budget_col(self, served: DataFrame | None):
-        """Per-row budget: round_duration / effective delay, where the
-        effective delay is the LARGER of the host's robots Crawl-delay
-        (__host_delay, joined by _with_budget_inputs) and the global
-        configured delay — the conservative reading a polite crawler
-        takes; the per-domain lifetime cap further bounds it."""
+    def _cap_left_col(self):
+        """Remaining lifetime per-domain budget (F6). Unlike the delay
+        budget this is the ONLY condition that may RETIRE frontier rows
+        — a delay-gated host's rows must stay queued for a later round."""
+        s = self.settings
+        if s.max_requests_per_domain is None:
+            return F.lit(_UNLIMITED)
+        return F.lit(s.max_requests_per_domain) - F.coalesce(
+            F.col("__served"), F.lit(0)
+        )
+
+    def _host_budget_col(self, served: DataFrame | None, rnd: int = 0):
+        """Per-row round budget under the effective delay = the LARGER
+        of the host's robots Crawl-delay (__host_delay, joined by
+        _with_budget_inputs) and the global configured delay — the
+        conservative reading a polite crawler takes.
+
+        * delay ≤ round_duration: round_duration / delay requests this
+          round (the per-round discretization, T1).
+        * delay > round_duration (e.g. Crawl-delay: 30 vs a 10 s
+          round): ONE request every ceil(delay/round_duration) rounds,
+          phase-staggered by host hash so long-delay hosts don't all
+          serve in the same round. Flooring at 1/round here would serve
+          3× faster than the host requested.
+        The per-domain lifetime cap further bounds it."""
         s = self.settings
         delay = max(s.domain_delay_ms, s.download_delay_ms)
         eff_delay = F.greatest(
             F.coalesce(F.col("__host_delay"), F.lit(0)).cast("bigint"),
             F.lit(delay).cast("bigint"),
         )
-        budget = F.when(
-            eff_delay > 0,
-            F.greatest(
-                F.lit(1),
-                (F.lit(s.round_duration_ms) / eff_delay).cast("int"),
-            ),
-        ).otherwise(F.lit(_UNLIMITED))
-        if s.max_requests_per_domain is not None:
-            cap_left = F.lit(s.max_requests_per_domain) - F.coalesce(
-                F.col("__served"), F.lit(0)
+        round_ms = F.lit(s.round_duration_ms).cast("bigint")
+        period = F.ceil(eff_delay / round_ms).cast("int")
+        on_phase = F.pmod(F.lit(rnd), period) == F.pmod(
+            F.xxhash64(F.col("host")), period
+        )
+        budget = (
+            F.when(eff_delay <= 0, F.lit(_UNLIMITED))
+            .when(
+                eff_delay <= round_ms,
+                F.greatest(F.lit(1), (round_ms / eff_delay).cast("int")),
             )
-            budget = F.least(budget, cap_left)
+            .otherwise(F.when(on_phase, F.lit(1)).otherwise(F.lit(0)))
+        )
+        if s.max_requests_per_domain is not None:
+            budget = F.least(budget, self._cap_left_col())
         return budget
 
     def _with_budget_inputs(
@@ -271,10 +293,11 @@ class CrawlEngine:
             allowed = ready
 
         # per-host budget rank (politeness + per-domain cap); hosts that
-        # exhausted their lifetime cap get budget<=0 → rows dropped
+        # exhausted their LIFETIME cap get cap_left<=0 → rows retired
         # (counted; the reference would skip them at dequeue forever,
         # domain_group_scheduler.rs:234-238 — documented deviation:
-        # we retire them so the crawl terminates)
+        # we retire them so the crawl terminates). Hosts whose round
+        # budget is 0 only because of delay phase-gating stay queued.
         # page_limit is the only global cap; concurrent_requests is a
         # throughput knob in the reference (not a semantic boundary), so
         # a round fetches every politeness-eligible row.
@@ -303,7 +326,7 @@ class CrawlEngine:
                 leftover = ready.limit(0).select(*FRONTIER_COLS)
         else:
             allowed = self._with_budget_inputs(allowed, served)
-            budget = self._host_budget_col(served)
+            budget = self._host_budget_col(served, rnd)
             # single-window budget path: on a frontier small enough that
             # per-host skew is bounded by the threshold itself, rank once
             # per host with the budget as a column and split batch /
@@ -326,12 +349,13 @@ class CrawlEngine:
                     .select(*FRONTIER_COLS)
                     .withColumn("batch_rank", F.lit(None).cast("int"))
                 )
-                # over-budget rows stay queued; budget<=0 hosts (lifetime
-                # cap exhausted) are retired; robots-blocked rows never
-                # entered ranked_all → retired
+                # over-budget rows stay queued — INCLUDING delay-gated
+                # hosts whose round budget is 0 (they serve in a later
+                # round); only lifetime-cap-exhausted hosts are retired;
+                # robots-blocked rows never entered ranked_all → retired
                 leftover = ranked_all.filter(
                     (F.col("host_rank") > F.col("__budget"))
-                    & (F.col("__budget") > 0)
+                    & (self._cap_left_col() > 0)
                 ).select(*FRONTIER_COLS)
             else:
                 ranked = per_host_topk(
@@ -361,12 +385,12 @@ class CrawlEngine:
                 # can never become fetchable), else they would loop forever
                 leftover = robots_filter(leftover, self.robots)
 
-            # capped-out hosts: budget<=0 rows must also be retired from
-            # leftover
+            # capped-out hosts: cap_left<=0 rows must also be retired
+            # from leftover (delay gating never retires — cap only)
             if s.max_requests_per_domain is not None:
                 leftover = self._with_budget_inputs(leftover, served)
                 leftover = leftover.filter(
-                    self._host_budget_col(served) > 0
+                    self._cap_left_col() > 0
                 ).drop("__served", "__host_delay")
 
         # ---- fetch (J2) + route ----

@@ -198,3 +198,48 @@ def test_robots_from_pages_lowercases_host(spark):
     assert len(rows) == 1
     assert rows[0].host == "upper.test"
     assert rows[0].disallow_prefixes == ["/admin"]
+
+
+def test_long_crawl_delay_gates_across_rounds(spark, tmp_path):
+    """Crawl-delay LONGER than the round duration (round-3 advice):
+    'Crawl-delay: 30' against a 10 s round must serve 1 request every
+    ceil(30/10)=3 rounds — not 1 per round (3x too fast). Delay-gated
+    rows stay queued (never retired) and consecutive serves are
+    exactly period rounds apart."""
+    from scrapy_rs_spark.plans.engine import CrawlEngine
+    from scrapy_rs_spark.settings import Settings
+
+    pages = spark.createDataFrame(
+        [
+            ("http://slow.test/robots.txt", 200,
+             bytearray(b"User-agent: *\nCrawl-delay: 30\n")),
+        ]
+        + [
+            (f"http://slow.test/{i}", 200, bytearray(b"<html>p</html>"))
+            for i in range(4)
+        ],
+        "url STRING, status INT, html BINARY",
+    ).withColumn("headers", F.lit(None).cast("map<string,string>"))
+    eng = CrawlEngine(
+        spark,
+        pages,
+        Settings(
+            scheduler_type="domain_group",
+            round_duration_ms=10_000,
+            max_depth=0,
+        ),
+        robots="auto",
+        store_path=str(tmp_path / "longdelay"),
+    )
+    stats = eng.run([f"http://slow.test/{i}" for i in range(4)])
+    assert stats.requests == 4  # nothing retired by the delay gate
+    served_rounds = sorted(
+        m["round"] for m in stats.per_round if m["requests"] > 0
+    )
+    # one request per serving round...
+    assert all(
+        m["requests"] == 1 for m in stats.per_round if m["requests"] > 0
+    )
+    # ...spaced exactly period=3 rounds apart → 30 s between fetches
+    gaps = [b - a for a, b in zip(served_rounds, served_rounds[1:])]
+    assert gaps == [3, 3, 3], served_rounds
