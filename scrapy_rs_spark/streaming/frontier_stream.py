@@ -82,11 +82,32 @@ class StreamingCrawl:
             return df.select("url_hash")
         return self.spark.createDataFrame([], "url_hash BIGINT")
 
+    def _next_seed_gen(self) -> int:
+        """Monotonic seed generation: 1 + the largest generation already
+        materialized in the frontier dir (files are tracked BY PATH by
+        the file source, so a later seed() must never reuse a name)."""
+        import re
+
+        pat = re.compile(r"^seed-(\d{4})-\d{4}\.parquet$")
+        gens = [
+            int(m.group(1))
+            for f in os.listdir(self.frontier_dir)
+            if (m := pat.match(f))
+        ]
+        return max(gens) + 1 if gens else 0
+
     def seed(self, urls: list[str]) -> None:
+        """Seed (or re-seed) the standing crawl. Each call is its own
+        GENERATION: seed files are keyed seed-<gen>-NNNN.parquet and the
+        generation's seen hashes land in their own batch_id=-(gen+1)
+        partition — a second seed() call neither clobbers the first
+        generation's files (which the file source, tracking paths, would
+        silently never re-read) nor overwrites its seen partition."""
         df = seeds_frontier(self.spark, urls)
         df = apply_enqueue_filters(df, self.settings)
         df = dedup_in_batch(df)
-        staging = os.path.join(self.root, "staging", "seed")
+        gen = self._next_seed_gen()
+        staging = os.path.join(self.root, "staging", f"seed-gen{gen}")
         df.select(*FRONTIER_COLS).repartition(1).write.mode(
             "overwrite"
         ).parquet(staging)
@@ -97,12 +118,15 @@ class StreamingCrawl:
         for i, fname in enumerate(parts):
             os.replace(
                 os.path.join(staging, fname),
-                os.path.join(self.frontier_dir, f"seed-{i:04d}.parquet"),
+                os.path.join(
+                    self.frontier_dir, f"seed-{gen:04d}-{i:04d}.parquet"
+                ),
             )
-        # seeds are marked seen at enqueue; batch_id=-1 keys the seed
-        # generation so every real batch's exclude filter keeps it
+        # seeds are marked seen at enqueue; negative batch_ids key the
+        # seed generations so every real batch's exclude filter (which
+        # only ever excludes its own non-negative bid) keeps them all
         df.select("url_hash").write.mode("overwrite").parquet(
-            os.path.join(self.seen_dir, "batch_id=-1")
+            os.path.join(self.seen_dir, f"batch_id=-{gen + 1}")
         )
 
     # ---- one micro-batch = one crawl round over new frontier files ----
