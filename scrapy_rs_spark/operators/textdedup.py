@@ -147,6 +147,7 @@ def dedup_clusters(
     max_iters: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id),
     cluster_id = the minimum doc id in the component (the keeper a
@@ -154,55 +155,103 @@ def dedup_clusters(
 
     The step a real pipeline runs AFTER pair generation (exact/minhash/
     simhash/embedding pairs all feed it). Iterative min-label
-    propagation as DataFrame jobs: each round every node takes the min
-    of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds — near-dup clusters are shallow, so
-    typically 2-4. Each round is one equi-join + partial-agg shuffle on
-    node id; labels are checkpointed per round so lineage stays flat.
-    Convergence is detected with one small count per round; max_iters
-    bounds pathological chains."""
+    propagation PLUS pointer jumping as DataFrame jobs: each round every
+    node takes the min of its own, its neighbors', and its label's
+    label (label(label(u)) — path halving), so a component of diameter
+    d converges in O(log d) rounds, not O(d). Each round is one
+    equi-join + partial-agg shuffle on node id plus a self-join on the
+    label key; labels are locally checkpointed per round so lineage
+    stays flat, and the convergence check rides the SAME materializing
+    action (a changed-label sum on the lazily-checkpointed result) —
+    one Spark job per round, no separate convergence job.
+
+    Labels only ever decrease and are always ids of nodes inside the
+    same component (neighbor labels and label-of-label both stay in
+    component), so the fixpoint is the component minimum. If max_iters
+    exhausts before the fixpoint the labels are NOT cluster ids —
+    on_nonconverged='raise' (default) raises RuntimeError;
+    'warn' prints loudly and returns the unconverged labels."""
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # no distinct: every consumer is a min-aggregation, which is
+    # duplicate-insensitive — deduping the symmetrized edge set would
+    # cost a full extra shuffle for nothing
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # initial label = min(id, min neighbor id) — the first neighbor-min
+    # step folded into initialization (one agg instead of a distinct
+    # plus a full loop iteration; edges are symmetric so every node
+    # appears as src)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__m")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
+    converged = False
+    iters = 0
     for _ in range(max_iters):
+        iters += 1
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            "id",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("nbr_label"), F.col("label")),
+            ).alias("label"),
+        )
+        # pointer jump: label(u) ← min(label(u), label(label(u))) — the
+        # label key is itself a node id, so a self-join fetches its
+        # (post-step) label; halves the remaining chain length per round
+        parent = stepped.select(
+            F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+        )
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            stepped.join(parent, stepped["label"] == parent["__pid"], "left")
             .select(
                 "id",
+                "old_label",
                 F.least(
                     F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("__plabel"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # second stage so __chg compares the POST-jump label
+            .select(
+                "id",
+                "label",
+                (F.col("label") != F.col("old_label")).cast("long").alias(
+                    "__chg"
+                ),
+            )
+            .localCheckpoint(eager=False)  # materialized by the agg below
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:
+        n_changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new_labels.select("id", "label")
+        if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"dedup_clusters did not converge in max_iters={max_iters}"
+            f" rounds — returned labels are NOT cluster ids (a component"
+            f" of diameter > ~2^{max_iters} remains); raise max_iters"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
