@@ -466,28 +466,67 @@ def _q_embedding_neardup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("score", 4).alias("score"))
 
 
+def _ann_recall_flags(queries_df, approx, exact, min_hits: int):
+    """Per-query self-verification for an approximate ANN path: count
+    how many of the exact top-5 the approximate top-5 found, compare
+    against a pinned integer floor (no float-equality hazards). The
+    oracle asserts the floor always holds, so a recall regression in
+    the approximate operator is a HASH MISMATCH, not a silent decay."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return (
+        queries_df.select("query_id")
+        .join(per, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= min_hits)
+            .cast("int")
+            .alias("recall_ok"),
+        )
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
-    """Approximate NN via SRP-LSH buckets — no exact SQL oracle (the
-    scale path; recall measured against brute force in tests)."""
-    from scrapy_rs_spark.operators.similarity import lsh_ann_topk
+    """Approximate NN via SRP-LSH buckets (n_planes=4) — self-verifying:
+    emits per-query recall@5-vs-brute-force floor flags (≥1 of the
+    exact top-5 found; planes are seed-42 deterministic, so the driver
+    hash-checks the floor). The raw top-k path itself is exactness-
+    anchored by ann_lsh_exact (0 planes ≡ brute force)."""
+    from scrapy_rs_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_ann_topk,
+    )
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk(emb, queries, k=5, n_planes=4)
+    approx = lsh_ann_topk(emb, queries, k=5, n_planes=4)
+    exact = brute_force_topk(emb, queries, k=5)
+    return _ann_recall_flags(queries, approx, exact, min_hits=1)
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF approximate NN (inverted-list probe) — approximate path, no
-    exact SQL oracle; recall vs brute force measured in tests."""
-    from scrapy_rs_spark.operators.similarity import ivf_ann_topk
+    """IVF approximate NN (8 lists, n_probe=3) — self-verifying like
+    ann_lsh: per-query floor of ≥2 of the exact top-5 found (measured
+    min recall 0.4 at sf0.01/sf0.1; deterministic seeded k-means). The
+    raw path is exactness-anchored by ann_ivf_fullprobe."""
+    from scrapy_rs_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_ann_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    approx = ivf_ann_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    exact = brute_force_topk(emb, queries, k=5)
+    return _ann_recall_flags(queries, approx, exact, min_hits=2)
 
 
 def _q_ann_ivf_fullprobe(spark, sf_dir):
@@ -525,15 +564,63 @@ def _q_ann_lsh_exact(spark, sf_dir):
 
 
 def _q_neardup_lsh(spark, sf_dir):
-    """Banded multi-table SRP near-dup pairs — the scale path for
-    embedding_neardup (approximate; rows-only check). 8 bands × 8
-    planes: expected bucket size n/256 per band, candidate volume
-    O(b·n²/2^r) instead of the all-pairs blowup; subset-of-exact and
-    candidate-count bounds are pinned in tests/test_curation_ops.py."""
-    from scrapy_rs_spark.operators.similarity import lsh_near_dup_pairs
+    """Banded multi-table SRP near-dup pairs (8 bands × 8 planes) —
+    self-verifying single-row summary the driver hash-checks:
+
+      * subset_violations: LSH pairs in the id<300 region that the
+        exact all-pairs baseline does NOT contain — must be 0 (LSH
+        scores pairs exactly, so any pair ≥ threshold is exact-true).
+      * recall_ok: LSH finds ≥5% of the exact pairs in that region
+        (measured ~10.2-10.8%, matching banded-LSH theory
+        1-(1-p^r)^b ≈ 10% at cos 0.25 on this corpus).
+      * candidate_bound_ok: scored candidates ≤ 2·b·n²/2^r — 4× the
+        uniform-bucket expectation n²/64 (measured ~1.17×), i.e. the
+        join NEVER degenerates toward all-pairs.
+
+    All three are integer/flag comparisons, deterministic (seed-42
+    planes), so a recall or blowup regression is a hash mismatch."""
+    from scrapy_rs_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_band_candidates,
+        lsh_near_dup_pairs,
+    )
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    return lsh_near_dup_pairs(emb, threshold=0.25, n_bands=8, n_planes=8)
+    pairs = lsh_near_dup_pairs(emb, threshold=0.25, n_bands=8, n_planes=8)
+    capped = pairs.filter(
+        (F.col("id_a") < 300) & (F.col("id_b") < 300)
+    ).select("id_a", "id_b")
+    exact = cosine_near_dup_pairs(emb, threshold=0.25, max_id=300).select(
+        "id_a", "id_b"
+    )
+    viol = capped.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("subset_violations")
+    )
+    hit = exact.join(capped, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("__n_hit")
+    )
+    ex_n = exact.agg(F.count("*").alias("__n_exact"))
+    cand_n = lsh_band_candidates(emb, 8, 8).agg(
+        F.count("*").alias("__n_cand")
+    )
+    corp_n = emb.agg(F.count("*").alias("__n"))
+    row = (
+        viol.crossJoin(hit).crossJoin(ex_n).crossJoin(cand_n).crossJoin(corp_n)
+    )
+    return row.select(
+        F.col("subset_violations").cast("bigint").alias("subset_violations"),
+        (F.col("__n_hit") * 20 >= F.col("__n_exact"))
+        .cast("int")
+        .alias("recall_ok"),
+        (
+            F.col("__n_cand").cast("double")
+            <= F.lit(2.0 * 8.0 / 256.0)
+            * F.col("__n").cast("double")
+            * F.col("__n").cast("double")
+        )
+        .cast("int")
+        .alias("candidate_bound_ok"),
+    )
 
 
 def _q_multimodal_decode(spark, sf_dir):
@@ -891,6 +978,20 @@ FROM documents""",
         "cosine_topk": _COSINE_TOPK_SQL,
         "ann_ivf_fullprobe": _COSINE_TOPK_SQL,
         "ann_lsh_exact": _COSINE_TOPK_SQL,
+        # self-verifying approximate paths: the Spark side computes the
+        # recall/subset/candidate invariants against its own exact
+        # anchors; the oracle asserts the invariants ALWAYS hold, so a
+        # regression in the approximate operators is a hash mismatch
+        "ann_lsh": """
+SELECT vec_id AS query_id, CAST(1 AS INT) AS recall_ok
+FROM embeddings WHERE vec_id < 10""",
+        "ann_ivf": """
+SELECT vec_id AS query_id, CAST(1 AS INT) AS recall_ok
+FROM embeddings WHERE vec_id < 10""",
+        "neardup_lsh": """
+SELECT CAST(0 AS BIGINT) AS subset_violations,
+       CAST(1 AS INT) AS recall_ok,
+       CAST(1 AS INT) AS candidate_bound_ok""",
         "multimodal_decode": """
 WITH base AS (SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n
               FROM documents),
