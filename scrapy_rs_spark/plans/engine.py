@@ -153,6 +153,16 @@ class CrawlEngine:
             store_path or tempfile.mkdtemp(prefix="crawlstore_"),
             seen_buckets=self.settings.seen_buckets,
         )
+        # cooperative pause/stop gates, checked at round boundaries —
+        # the set-model restatement of the reference's Notify gates
+        # (engine/src/lib.rs:1153-1193): pause() blocks the crawl loop
+        # BETWEEN rounds (state is already committed there), unpause()
+        # releases it, stop() ends the loop gracefully at the boundary
+        import threading
+
+        self._pause_requested = False
+        self._stop_requested = False
+        self._resume_event = threading.Event()
         self.bloom = None
         if self.settings.use_bloom_sidecar:
             from scrapy_rs_spark.sources.bloom import BloomSidecar
@@ -741,18 +751,49 @@ class CrawlEngine:
             )
         return self.resume(max_rounds=max_rounds)
 
+    # ---- cooperative pause/stop (reference Notify gates,
+    #      engine/src/lib.rs:1153-1193; signals engine_paused/resumed) ----
+    def pause(self) -> None:
+        """Request a pause: the crawl loop blocks at the NEXT round
+        boundary (after the in-flight round commits) and emits
+        engine_paused; unpause() releases it. Thread-safe — call from
+        another thread or from a signal handler."""
+        self._pause_requested = True
+
+    def unpause(self) -> None:
+        """Release a pause() gate; the loop emits engine_resumed and
+        continues. (Named unpause — resume() restarts a crawl from its
+        committed store, the reference's load_state analogue.)"""
+        self._resume_event.set()
+
+    def stop(self) -> None:
+        """Request a graceful stop at the next round boundary (emits
+        engine_stopping; committed state remains resumable). Also
+        releases an active pause so a paused crawl can stop."""
+        self._stop_requested = True
+        self._resume_event.set()
+
+    def _emit(self, signal: str, payload: dict) -> None:
+        if self.signals is not None:
+            self.signals.send(signal, payload)
+
     def resume(self, max_rounds: int = 1_000) -> CrawlStats:
         """Continue from the latest committed round (pause/resume T5)."""
+        from scrapy_rs_spark.plans.signals import (
+            ENGINE_PAUSED,
+            ENGINE_RESUMED,
+            ENGINE_STARTED,
+            SPIDER_OPENED,
+        )
+
         stats = CrawlStats()
         for m in self.store.load_metrics():
             stats.record(m)
         last = self.store.latest_round()
         if last is None:
             raise RuntimeError("nothing to resume: no committed rounds")
-        if self.signals is not None:
-            from scrapy_rs_spark.plans.signals import ENGINE_STARTED
-
-            self.signals.send(ENGINE_STARTED, {"resume_from": last})
+        self._emit(ENGINE_STARTED, {"resume_from": last})
+        self._emit(SPIDER_OPENED, {"resume_from": last})
         frontier = self.store.load_frontier(last)
         served = self.store.load_host_served(last) if last > 0 else None
         pages_served = stats.requests
@@ -766,6 +807,18 @@ class CrawlEngine:
         if delay > 0 or self.settings.max_requests_per_domain is not None:
             fhint = frontier.count()
         while rnd < max_rounds:
+            if self._stop_requested:
+                break
+            if self._pause_requested:
+                # round boundary: state for round `rnd` is committed, so
+                # a paused crawl is exactly a resumable store + a gate
+                self._emit(ENGINE_PAUSED, {"round": rnd})
+                self._resume_event.wait()
+                self._resume_event.clear()
+                self._pause_requested = False
+                if self._stop_requested:
+                    break
+                self._emit(ENGINE_RESUMED, {"round": rnd})
             if (
                 self.settings.page_limit is not None
                 and pages_served >= self.settings.page_limit
@@ -803,14 +856,19 @@ class CrawlEngine:
                 ).collect()[0][0]
                 if min_gate is not None and min_gate > rnd + 1:
                     rnd = min_gate - 1
-        if self.signals is not None:
-            from scrapy_rs_spark.plans.signals import ENGINE_STOPPED
+        from scrapy_rs_spark.plans.signals import (
+            ENGINE_STOPPED,
+            ENGINE_STOPPING,
+            SPIDER_CLOSED,
+        )
 
-            self.signals.send(
-                ENGINE_STOPPED,
-                {"requests": stats.requests, "items": stats.items,
-                 "errors": stats.errors, "rounds": stats.rounds},
-            )
+        final = {"requests": stats.requests, "items": stats.items,
+                 "errors": stats.errors, "rounds": stats.rounds,
+                 "stopped_by_request": self._stop_requested}
+        self._emit(ENGINE_STOPPING, final)
+        self._emit(SPIDER_CLOSED, final)
+        self._emit(ENGINE_STOPPED, final)
+        self._stop_requested = False  # the store stays resumable
         return stats
 
     # convenience accessors

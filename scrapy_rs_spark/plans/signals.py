@@ -14,12 +14,20 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Callable
 
-# signal names mirror core/src/signal.rs:14-41
+# signal names mirror core/src/signal.rs:14-41 — all 12 reference
+# event types have an analogue here (aggregate per-round payloads);
+# round_started/round_finished/retries_scheduled are set-model extras
 ENGINE_STARTED = "engine_started"
+ENGINE_STOPPING = "engine_stopping"  # stop requested, before final state
 ENGINE_STOPPED = "engine_stopped"
-ROUND_STARTED = "round_started"  # spider_opened analogue per round
+ENGINE_PAUSED = "engine_paused"  # cooperative round-boundary gate
+ENGINE_RESUMED = "engine_resumed"
+SPIDER_OPENED = "spider_opened"
+SPIDER_CLOSED = "spider_closed"
+ROUND_STARTED = "round_started"
 ROUND_FINISHED = "round_finished"
-REQUESTS_SCHEDULED = "requests_scheduled"
+REQUESTS_SCHEDULED = "requests_scheduled"  # request_scheduled analogue
+REQUESTS_SENT = "requests_sent"  # request_sent analogue (post-fetch)
 RESPONSES_RECEIVED = "responses_received"
 ITEMS_SCRAPED = "items_scraped"
 ERRORS_OCCURRED = "errors_occurred"
@@ -27,10 +35,16 @@ RETRIES_SCHEDULED = "retries_scheduled"
 
 ALL_SIGNALS = [
     ENGINE_STARTED,
+    ENGINE_STOPPING,
     ENGINE_STOPPED,
+    ENGINE_PAUSED,
+    ENGINE_RESUMED,
+    SPIDER_OPENED,
+    SPIDER_CLOSED,
     ROUND_STARTED,
     ROUND_FINISHED,
     REQUESTS_SCHEDULED,
+    REQUESTS_SENT,
     RESPONSES_RECEIVED,
     ITEMS_SCRAPED,
     ERRORS_OCCURRED,
@@ -62,6 +76,7 @@ class SignalManager:
         self.send(ROUND_STARTED, metrics)
         if metrics.get("requests"):
             self.send(REQUESTS_SCHEDULED, metrics)
+            self.send(REQUESTS_SENT, metrics)
         if metrics.get("responses"):
             self.send(RESPONSES_RECEIVED, metrics)
         if metrics.get("items"):
