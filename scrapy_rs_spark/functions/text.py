@@ -64,15 +64,26 @@ class _LinkExtractor(HTMLParser):
                     self.links.append(value)
 
 
-def extract_text(html: bytes | str | None) -> str | None:
-    """Pinned html→text. None on invalid UTF-8 (strict decode)."""
+def _decode(html: bytes | str | None, encoding: str | None = None):
+    """Strict decode of a response body. encoding overrides the default
+    UTF-8 per request (reference Request.encoding, request.rs:74-90 —
+    the reference decodes non-UTF-8 bodies per request encoding,
+    response.rs:71-78). Invalid bytes (or an unknown codec) → None,
+    routed to the error channel."""
+    if html is None or isinstance(html, str):
+        return html
+    try:
+        return bytes(html).decode(encoding or "utf-8", errors="strict")
+    except (UnicodeDecodeError, LookupError):
+        return None
+
+
+def extract_text(html: bytes | str | None, encoding: str | None = None) -> str | None:
+    """Pinned html→text. None on undecodable bytes (strict decode;
+    per-request encoding override honored)."""
+    html = _decode(html, encoding)
     if html is None:
         return None
-    if isinstance(html, (bytes, bytearray)):
-        try:
-            html = bytes(html).decode("utf-8", errors="strict")
-        except UnicodeDecodeError:
-            return None
     p = _TextExtractor()
     try:
         p.feed(html)
@@ -82,14 +93,10 @@ def extract_text(html: bytes | str | None) -> str | None:
     return "\n".join(p.chunks)
 
 
-def extract_links(html: bytes | str | None) -> list[str]:
+def extract_links(html: bytes | str | None, encoding: str | None = None) -> list[str]:
+    html = _decode(html, encoding)
     if html is None:
         return []
-    if isinstance(html, (bytes, bytearray)):
-        try:
-            html = bytes(html).decode("utf-8", errors="strict")
-        except UnicodeDecodeError:
-            return []
     p = _LinkExtractor()
     try:
         p.feed(html)
@@ -138,16 +145,15 @@ class _PageExtractor(HTMLParser):
                 self.chunks.append(stripped)
 
 
-def parse_page(html: bytes | str | None) -> tuple[str | None, list[str]]:
+def parse_page(
+    html: bytes | str | None, encoding: str | None = None
+) -> tuple[str | None, list[str]]:
     """Pinned single-pass parse: (text, links). Byte-identical to
-    extract_text/extract_links (same parser callbacks, same order)."""
+    extract_text/extract_links (same parser callbacks, same order);
+    per-request encoding override honored like the reference."""
+    html = _decode(html, encoding)
     if html is None:
         return None, []
-    if isinstance(html, (bytes, bytearray)):
-        try:
-            html = bytes(html).decode("utf-8", errors="strict")
-        except UnicodeDecodeError:
-            return None, []
     p = _PageExtractor()
     try:
         p.feed(html)
@@ -157,16 +163,32 @@ def parse_page(html: bytes | str | None) -> tuple[str | None, list[str]]:
     return "\n".join(p.chunks), p.links
 
 
-@pandas_udf(
-    StructType(
-        [
-            StructField("text", StringType()),
-            StructField("links", ArrayType(StringType())),
-        ]
-    )
+_PAGE_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ]
 )
+
+
+@pandas_udf(_PAGE_STRUCT)
 def parse_page_udf(html: pd.Series) -> pd.DataFrame:
     parsed = html.map(parse_page)
     return pd.DataFrame(
         {"text": parsed.map(lambda t: t[0]), "links": parsed.map(lambda t: t[1])}
+    )
+
+
+@pandas_udf(_PAGE_STRUCT)
+def parse_page_enc_udf(html: pd.Series, encoding: pd.Series) -> pd.DataFrame:
+    """parse_page with a per-row decode override (frontier `encoding`
+    column; NULL → strict UTF-8). The engine's default parse uses this
+    so a shift-jis page fetched by a request that declared its encoding
+    still extracts text instead of landing in the error channel."""
+    parsed = [
+        parse_page(h, e if isinstance(e, str) and e else None)
+        for h, e in zip(html, encoding)
+    ]
+    return pd.DataFrame(
+        {"text": [t[0] for t in parsed], "links": [t[1] for t in parsed]}
     )

@@ -50,6 +50,15 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
     # 100 TB the text column alone is a large fraction of the table;
     # the pruned ReadSchema reaches the parquet/Iceberg scan
     method_aware = "method" in pages.columns and "method" in batch.columns
+    # per-request timeout (request.rs:74-82): when the pages table
+    # carries an observed latency_ms, rows slower than the request's
+    # timeout_ms behave as if the body never arrived — status/html
+    # nulled, so is_retryable routes them to retry like the reference's
+    # Error::Timeout (error.rs:446-472); fetch_error_class distinguishes
+    # 'timeout' from 'connection'
+    timeout_aware = (
+        "latency_ms" in pages.columns and "timeout_ms" in batch.columns
+    )
     proj = [
         F.col("url").alias("__p_url"),
         F.col("status").alias("status"),
@@ -58,6 +67,8 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
     ]
     if method_aware:
         proj.append(F.col("method").alias("__p_method"))
+    if timeout_aware:
+        proj.append(F.col("latency_ms").alias("__p_latency"))
     p = pages.select(*proj)
     # response columns own the plain names; request-side columns that
     # collide (e.g. headers set by request middleware) become req_*
@@ -69,7 +80,29 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
     cond = batch["url_canon"] == p["__p_url"]
     if method_aware:
         cond = cond & (batch["method"] == p["__p_method"])
-    return batch.join(p, cond, "left").drop("__p_url", "__p_method")
+    joined = batch.join(p, cond, "left").drop("__p_url", "__p_method")
+    if timeout_aware:
+        timed_out = F.coalesce(
+            F.col("__p_latency") > F.col("timeout_ms"), F.lit(False)
+        )
+        joined = (
+            joined.withColumn("timed_out", timed_out)
+            .withColumn(
+                "status",
+                F.when(timed_out, F.lit(None).cast("int")).otherwise(
+                    F.col("status")
+                ),
+            )
+            .withColumn(
+                "html",
+                F.when(timed_out, F.lit(None).cast(joined.schema["html"].dataType)
+                       ).otherwise(F.col("html")),
+            )
+            .drop("__p_latency")
+        )
+    else:
+        joined = joined.withColumn("timed_out", F.lit(False))
+    return joined
 
 
 def is_success(status: Column) -> Column:
@@ -85,6 +118,28 @@ def is_retryable(status: Column) -> Column:
     pages table ≈ connection error (retryable in the reference,
     error.rs:446-472)."""
     return status.isNull() | status.isin(RETRYABLE_STATUSES)
+
+
+def fetch_error_class(fetched: DataFrame) -> Column:
+    """Error classification mirroring the reference's error taxonomy
+    (error.rs:446-472): 'timeout' (request timeout_ms exceeded),
+    'connection' (no page row at all), 'http_<status>' for error
+    statuses, NULL for successes/redirects."""
+    status = F.col("status")
+    timed = (
+        F.col("timed_out")
+        if "timed_out" in fetched.columns
+        else F.lit(False)
+    )
+    return (
+        F.when(timed, F.lit("timeout"))
+        .when(status.isNull(), F.lit("connection"))
+        .when(
+            ~is_success(status) & ~is_redirect(status),
+            F.concat(F.lit("http_"), status.cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
 
 
 def split_fetched(fetched: DataFrame) -> dict[str, DataFrame]:
@@ -136,6 +191,9 @@ def build_retries(
         "meta",
         "body",
         "cookies",
+        "timeout_ms",
+        "encoding",
+        "flags",
     ]
     kept = retry_rows.filter(
         F.col("retry_count") < F.lit(settings.max_retries)

@@ -267,6 +267,9 @@ class FrontierScheduler:
             .withColumn("meta", F.lit(None).cast("map<string,string>"))
             .withColumn("body", F.lit(None).cast("binary"))
             .withColumn("cookies", F.lit(None).cast("map<string,string>"))
+            .withColumn("timeout_ms", F.lit(None).cast("bigint"))
+            .withColumn("encoding", F.lit(None).cast("string"))
+            .withColumn("flags", F.lit(None).cast("array<string>"))
         )
         df = apply_enqueue_filters(df, self.settings)
         df = dedup_in_batch(df)

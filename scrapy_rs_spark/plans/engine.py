@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from scrapy_rs_spark.functions.text import (
     extract_links_udf,
     extract_text_udf,
-    parse_page_udf,
+    parse_page_enc_udf,
 )
 from scrapy_rs_spark.functions.url import urljoin_udf, url_hash_expr
 from scrapy_rs_spark.operators.dedup import anti_join_seen, dedup_in_batch
@@ -71,6 +71,9 @@ FRONTIER_COLS = [
     "meta",
     "body",
     "cookies",
+    "timeout_ms",
+    "encoding",
+    "flags",
 ]
 
 # effectively-unlimited per-host budget when no politeness delay is set
@@ -452,7 +455,11 @@ class CrawlEngine:
                 "url_canon",
                 "depth",
                 "cookies",
-                parse_page_udf(F.col("html")).alias("p"),
+                # per-request decode override (request.rs:74-90):
+                # encoding NULL → strict UTF-8, like the reference
+                parse_page_enc_udf(F.col("html"), F.col("encoding")).alias(
+                    "p"
+                ),
             ).localCheckpoint(eager=True)
             items = parsed.select(
                 F.col("url"),
@@ -529,6 +536,9 @@ class CrawlEngine:
             .withColumn("retry_not_before_round", F.lit(0))
             .withColumn("meta", F.lit(None).cast("map<string,string>"))
             .withColumn("body", F.lit(None).cast("binary"))
+            .withColumn("timeout_ms", F.lit(None).cast("bigint"))
+            .withColumn("encoding", F.lit(None).cast("string"))
+            .withColumn("flags", F.lit(None).cast("array<string>"))
         )
 
         # redirects re-enter at the same depth AND priority
@@ -586,6 +596,9 @@ class CrawlEngine:
                 ),
             )
             .withColumn("body", F.lit(None).cast("binary"))
+            .withColumn("timeout_ms", F.lit(None).cast("bigint"))
+            .withColumn("encoding", F.lit(None).cast("string"))
+            .withColumn("flags", F.lit(None).cast("array<string>"))
         )
         candidates = candidates.select(*FRONTIER_COLS)
         if redirs is not None:

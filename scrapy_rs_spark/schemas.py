@@ -35,6 +35,12 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField(
             "cookies", T.MapType(T.StringType(), T.StringType()), True
         ),
+        # request auxiliaries (request.rs:74-90): per-request fetch
+        # timeout (NULL → settings.request_timeout_ms), response-body
+        # decode override (NULL → strict UTF-8), opaque flag tags
+        T.StructField("timeout_ms", T.LongType(), True),
+        T.StructField("encoding", T.StringType(), True),
+        T.StructField("flags", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -42,7 +48,8 @@ FRONTIER_DDL = (
     "url STRING, url_canon STRING, url_hash BIGINT, host STRING, method STRING,"
     " priority INT, depth INT, discovery_round INT, discovery_seq BIGINT,"
     " retry_count INT, dont_filter BOOLEAN, retry_not_before_round INT,"
-    " meta MAP<STRING,STRING>, body BINARY, cookies MAP<STRING,STRING>"
+    " meta MAP<STRING,STRING>, body BINARY, cookies MAP<STRING,STRING>,"
+    " timeout_ms BIGINT, encoding STRING, flags ARRAY<STRING>"
 )
 
 # pages row ⇔ Response (/root/reference/core/src/response.rs:11-46) shaped to
@@ -58,6 +65,10 @@ PAGES_SCHEMA = T.StructType(
         T.StructField(
             "headers", T.MapType(T.StringType(), T.StringType()), True
         ),
+        # optional: observed fetch latency; when present, rows slower
+        # than the request's timeout_ms classify as timeout errors
+        # (retryable, reference error.rs:446-472)
+        T.StructField("latency_ms", T.LongType(), True),
     ]
 )
 

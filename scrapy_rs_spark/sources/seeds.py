@@ -50,11 +50,20 @@ def seeds_frontier(
             df = df.withColumn(
                 "cookies", F.lit(None).cast("map<string,string>")
             )
+        if "timeout_ms" not in df.columns:
+            df = df.withColumn("timeout_ms", F.lit(None).cast("bigint"))
+        if "encoding" not in df.columns:
+            df = df.withColumn("encoding", F.lit(None).cast("string"))
+        if "flags" not in df.columns:
+            df = df.withColumn("flags", F.lit(None).cast("array<string>"))
     else:
         rows = []
         for i, s in enumerate(seeds):
             if isinstance(s, str):
-                rows.append((s, default_priority, 0, i, "GET", None, None))
+                rows.append(
+                    (s, default_priority, 0, i, "GET", None, None,
+                     None, None, None)
+                )
             elif isinstance(s, dict):
                 rows.append(
                     (
@@ -65,15 +74,23 @@ def seeds_frontier(
                         str(s.get("method", "GET")).upper(),
                         bytes(s["body"]) if s.get("body") is not None else None,
                         s.get("cookies"),
+                        # request auxiliaries (request.rs:74-90)
+                        s.get("timeout_ms"),
+                        s.get("encoding"),
+                        list(s["flags"]) if s.get("flags") else None,
                     )
                 )
             else:
                 url, prio, depth = (list(s) + [default_priority, 0])[:3]
-                rows.append((url, int(prio), int(depth), i, "GET", None, None))
+                rows.append(
+                    (url, int(prio), int(depth), i, "GET", None, None,
+                     None, None, None)
+                )
         df = spark.createDataFrame(
             rows,
             "url STRING, priority INT, depth INT, discovery_seq BIGINT,"
-            " method STRING, body BINARY, cookies MAP<STRING,STRING>",
+            " method STRING, body BINARY, cookies MAP<STRING,STRING>,"
+            " timeout_ms BIGINT, encoding STRING, flags ARRAY<STRING>",
         )
     df = with_url_identity(df, "url", method_col="method")
     return (
@@ -102,5 +119,8 @@ def seeds_frontier(
             "meta",
             "body",
             "cookies",
+            "timeout_ms",
+            "encoding",
+            "flags",
         )
     )

@@ -47,6 +47,7 @@ FRONTIER_COLS = [
     "url", "url_canon", "url_hash", "host", "method", "priority", "depth",
     "discovery_round", "discovery_seq", "retry_count", "dont_filter",
     "retry_not_before_round", "meta", "body", "cookies",
+    "timeout_ms", "encoding", "flags",
 ]
 
 
@@ -188,6 +189,9 @@ class StreamingCrawl:
             .withColumn("retry_not_before_round", F.lit(0))
             .withColumn("meta", F.lit(None).cast("map<string,string>"))
             .withColumn("body", F.lit(None).cast("binary"))
+            .withColumn("timeout_ms", F.lit(None).cast("bigint"))
+            .withColumn("encoding", F.lit(None).cast("string"))
+            .withColumn("flags", F.lit(None).cast("array<string>"))
         )
         candidates = apply_enqueue_filters(candidates, s)
         candidates = dedup_in_batch(candidates)
