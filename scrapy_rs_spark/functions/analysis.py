@@ -75,9 +75,22 @@ def punct_count(text: Column | str) -> Column:
 
 def lang_id_heuristic(text: Column | str, threshold: float = 0.08) -> Column:
     """Stopword-density language ID: 'en' if the English stopword
-    ratio clears the threshold, else 'unknown'. (A real system swaps
-    in fastText/cld3 via a pandas UDF; the Spark plumbing — one column
-    expr per language family — is identical.)"""
+    ratio clears the threshold, else 'unknown'.
+
+    Upgrade path (documented stand-in): a production curation run
+    replaces this column expression with a model-based LID of the
+    fastText lid.176 / CLD3 class behind an Arrow-batched pandas UDF —
+    same column contract (text → STRING label), so the swap is
+
+        @pandas_udf("string")
+        def lang_id_model(texts: pd.Series) -> pd.Series:
+            model = _load_model_once()          # per-executor singleton
+            return pd.Series(model.predict(texts.tolist()))
+
+    and every caller (queries(), curation filters) is unchanged. The
+    model file ships via spark.sparkContext.addFile so executors load
+    it locally; this container has no model assets, hence the
+    deterministic heuristic here."""
     return F.when(stopword_ratio(text) >= F.lit(threshold), F.lit("en")).otherwise(
         F.lit("unknown")
     )
@@ -86,7 +99,16 @@ def lang_id_heuristic(text: Column | str, threshold: float = 0.08) -> Column:
 def quality_score(text: Column | str) -> Column:
     """Webtext quality heuristic in [0,1]: rewards mid-length docs and
     stopword presence, penalizes punctuation soup. Deterministic,
-    cross-engine-expressible arithmetic (rounded by callers)."""
+    cross-engine-expressible arithmetic (rounded by callers).
+
+    Upgrade path (documented stand-in): production pipelines score with
+    a KenLM/ngram perplexity filter or a small quality classifier
+    (C4/Gopher/FineWeb-style rules plus a learned model) behind the
+    same column contract (text → DOUBLE in [0,1]) as an Arrow-batched
+    pandas UDF — swap the expression, keep every caller. The rule
+    features this heuristic computes (length, stopword ratio, word
+    shape, punctuation density) are the same ones those published
+    filters threshold on."""
     c = F.col(text) if isinstance(text, str) else text
     n_chars = F.length(c).cast("double")
     n_words = token_count_ws(text).cast("double")

@@ -287,13 +287,11 @@ class FrontierScheduler:
         self._seen = (
             new_seen if self._seen is None else self._seen.unionByName(new_seen)
         )
-        # materialize to keep lineage flat across many enqueue/next cycles
-        self._queue = self.spark.createDataFrame(
-            self._queue.collect(), self._queue.schema
-        )
-        self._seen = self.spark.createDataFrame(
-            self._seen.collect(), self._seen.schema
-        )
+        # materialize to keep lineage flat across many enqueue/next
+        # cycles — executor-local checkpoint, nothing round-trips the
+        # driver (matches the engine's own idiom)
+        self._queue = self._queue.localCheckpoint(eager=True)
+        self._seen = self._seen.localCheckpoint(eager=True)
 
     # -- dequeue --
     def _order(self) -> list:
