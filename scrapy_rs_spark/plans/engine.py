@@ -860,15 +860,40 @@ class CrawlEngine:
                 self.store.compact_seen()
             rnd = committed
             if m["requests"] == 0 and m["new_urls"] == 0:
-                # only retry-gated rows remain; fast-forward the round
-                # counter to the earliest gate instead of spinning
+                # only retry-gated or delay-phase-gated rows remain;
+                # fast-forward the round counter to the earliest round
+                # any row can serve instead of committing empty rounds
+                # (a Crawl-delay-30 host against a 10 s round would
+                # otherwise cost 2 empty commits per fetch)
                 if frontier.isEmpty():
                     break
-                min_gate = frontier.agg(
-                    F.min("retry_not_before_round")
-                ).collect()[0][0]
-                if min_gate is not None and min_gate > rnd + 1:
-                    rnd = min_gate - 1
+                nxt = F.greatest(
+                    F.col("retry_not_before_round").cast("bigint"),
+                    F.lit(rnd + 1).cast("bigint"),
+                )
+                if self._has_host_delays:
+                    s = self.settings
+                    fr2 = self._with_budget_inputs(frontier, None)
+                    delay = max(s.domain_delay_ms, s.download_delay_ms)
+                    eff_delay = F.greatest(
+                        F.coalesce(F.col("__host_delay"), F.lit(0)).cast(
+                            "bigint"
+                        ),
+                        F.lit(delay).cast("bigint"),
+                    )
+                    round_ms = F.lit(s.round_duration_ms).cast("bigint")
+                    period = F.ceil(eff_delay / round_ms).cast("bigint")
+                    phase = F.pmod(F.xxhash64(F.col("host")), period)
+                    # first on-phase round ≥ the row's retry gate
+                    nxt = F.when(
+                        eff_delay > round_ms,
+                        nxt + F.pmod(phase - nxt, period),
+                    ).otherwise(nxt)
+                    target = fr2.agg(F.min(nxt)).collect()[0][0]
+                else:
+                    target = frontier.agg(F.min(nxt)).collect()[0][0]
+                if target is not None and target > rnd + 1:
+                    rnd = int(target) - 1
         from scrapy_rs_spark.plans.signals import (
             ENGINE_STOPPED,
             ENGINE_STOPPING,
