@@ -184,7 +184,17 @@ def parse_page_enc_udf(html: pd.Series, encoding: pd.Series) -> pd.DataFrame:
     """parse_page with a per-row decode override (frontier `encoding`
     column; NULL → strict UTF-8). The engine's default parse uses this
     so a shift-jis page fetched by a request that declared its encoding
-    still extracts text instead of landing in the error channel."""
+    still extracts text instead of landing in the error channel. A
+    batch with no overrides (the common case) takes the exact same
+    map() path as parse_page_udf — zero cost for the feature."""
+    if encoding.isna().all():
+        parsed = html.map(parse_page)
+        return pd.DataFrame(
+            {
+                "text": parsed.map(lambda t: t[0]),
+                "links": parsed.map(lambda t: t[1]),
+            }
+        )
     parsed = [
         parse_page(h, e if isinstance(e, str) and e else None)
         for h, e in zip(html, encoding)

@@ -194,7 +194,16 @@ def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     canonicalize, so it is concat-safe."""
     href_s = href.astype("object")
     base_s = base.astype("object")
-    path_part = href_s.str.split("?", n=1).str[0]
+    # the dot-segment/'//' exclusions apply to the path part only; the
+    # split is computed lazily — query-less batches (most of a typical
+    # site) pay a single contains() pass, nothing else
+    has_q = href_s.str.contains("?", regex=False, na=False)
+    any_q = bool(has_q.any())
+    if any_q:
+        path_part = href_s.copy()
+        path_part[has_q] = href_s[has_q].str.split("?", n=1).str[0]
+    else:
+        path_part = href_s
     fast = (
         href_s.str.match(_FAST_HREF, na=False)
         & ~path_part.str.contains(_DOT_SEG, na=True)
@@ -221,12 +230,20 @@ def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     if rel.any():
         base_dir = base_s[rel].str.replace(_AFTER_LAST_SLASH, "", regex=True)
         out[rel] = base_dir + href_s[rel]
-    # bare-query fast path ('?page=2' — ubiquitous pagination hrefs):
-    # a canonical base has no query, so resolution is base + href
-    qry = ~fast & ~rel & href_s.str.match(_BARE_QUERY_HREF, na=False) & base_ok
-    if qry.any():
-        out[qry] = base_s[qry] + href_s[qry]
-    for i in out.index[~(fast | rel | qry)]:
+    handled = fast | rel
+    if any_q:
+        # bare-query fast path ('?page=2' — ubiquitous pagination
+        # hrefs): a canonical base has no query → base + href
+        qry = (
+            ~handled
+            & has_q
+            & href_s.str.match(_BARE_QUERY_HREF, na=False)
+            & base_ok
+        )
+        if qry.any():
+            out[qry] = base_s[qry] + href_s[qry]
+        handled = handled | qry
+    for i in out.index[~handled]:
         out[i] = resolve(base_s[i], href_s[i])
     return out
 
