@@ -139,7 +139,68 @@ def _crawl_polite_once(spark, pages_n: int, n_hosts: int = 100) -> dict:
         shutil.rmtree(store, ignore_errors=True)
 
 
-def run_crawl(master: str, pages_n: int, pin_cpus: int | None = None) -> dict:
+def _crawl_deep_once(
+    spark, compact_every: int, n_pages: int = 270, links: int = 5
+) -> dict:
+    """Long-crawl seen-set evidence (round-3 verdict ask): a single-seed
+    BFS over the (i+k+1)%N graph discovers ~links pages per level, so
+    n_pages=320/links=5 yields a ~64-round crawl. Per-round wall times
+    expose the seen-delta pile-up: without compaction every round's
+    anti-join unions one more delta dir (listing + read per round),
+    with the default compact-every-16 cadence late rounds stay flat."""
+    import statistics
+
+    from scrapy_rs_spark.plans.engine import CrawlEngine
+    from scrapy_rs_spark.settings import Settings
+    from scrapy_rs_spark.sources.mocksite import mock_site_pages
+
+    class _TimedEngine(CrawlEngine):
+        round_times: list  # set after construction
+
+        def _run_round(self, *a, **kw):
+            t0 = time.time()
+            m = super()._run_round(*a, **kw)
+            self.round_times.append(round(time.time() - t0, 3))
+            return m
+
+    store = tempfile.mkdtemp(prefix="bench_deep_")
+    try:
+        pages = mock_site_pages(
+            spark, page_count=n_pages, links_per_page=links, golden_text=False
+        ).localCheckpoint(eager=True)
+        eng = _TimedEngine(
+            spark,
+            pages,
+            Settings(
+                scheduler_type="breadth_first",
+                seen_compact_every=compact_every,
+            ),
+            store_path=store,
+        )
+        eng.round_times = []
+        t0 = time.time()
+        stats = eng.run(["http://mocksite.test/0"])
+        dt = time.time() - t0
+        rt = eng.round_times
+        return {
+            "pages": stats.requests,
+            "rounds": len(rt),
+            "seconds": round(dt, 2),
+            "compact_every": compact_every if compact_every < 1 << 29 else None,
+            "mean_round_s_first10": round(statistics.mean(rt[:10]), 3),
+            "mean_round_s_last10": round(statistics.mean(rt[-10:]), 3),
+            "round_times": rt,
+        }
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def run_crawl(
+    master: str,
+    pages_n: int,
+    pin_cpus: int | None = None,
+    warmup: bool = True,
+) -> dict:
     """Fresh-subprocess crawl measurement: a new JVM per configuration
     plus an untimed warmup crawl, so JIT/codegen warmth doesn't favor
     whichever configuration happens to run second.
@@ -151,7 +212,10 @@ def run_crawl(master: str, pages_n: int, pin_cpus: int | None = None) -> dict:
     scaling-efficiency measurements."""
     import subprocess
 
-    cmd = [sys.executable, os.path.abspath(__file__), "--crawl", master, str(pages_n)]
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--crawl", master,
+        str(pages_n), "1" if warmup else "0",
+    ]
     if pin_cpus is not None:
         cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
     out = subprocess.run(
@@ -181,10 +245,11 @@ def run_crawl(master: str, pages_n: int, pin_cpus: int | None = None) -> dict:
     return res
 
 
-def crawl_main(master: str, pages_n: int) -> None:
+def crawl_main(master: str, pages_n: int, warmup: bool = True) -> None:
     spark = build_session(app_name="bench_crawl", master=master)
     try:
-        _crawl_once(spark, max(2000, pages_n // 10))  # warmup (untimed)
+        if warmup:
+            _crawl_once(spark, max(2000, pages_n // 10))  # untimed
         print(json.dumps(_crawl_once(spark, pages_n)))
     finally:
         spark.stop()
@@ -192,7 +257,11 @@ def crawl_main(master: str, pages_n: int) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl":
-        crawl_main(sys.argv[2], int(sys.argv[3]))
+        crawl_main(
+            sys.argv[2],
+            int(sys.argv[3]),
+            warmup=(sys.argv[4] != "0") if len(sys.argv) > 4 else True,
+        )
         return
 
     result: dict = {"unit": "sec", "sf": SF, "queries": {}}
@@ -226,14 +295,35 @@ def main() -> None:
         result["crawl_polite"] = _crawl_polite_once(
             spark, max(5000, CRAWL_PAGES // 4)
         )
+
+        # ---- long-crawl seen-set evidence (~64 rounds, with/without
+        # delta compaction) — late-round times must stay flat with the
+        # default cadence and grow without it ----
+        if os.environ.get("SPARK_GRAFT_SKIP_DEEP") != "1":
+            result["crawl_deep"] = {
+                "with_compaction": _crawl_deep_once(spark, compact_every=16),
+                "without_compaction": _crawl_deep_once(
+                    spark, compact_every=1 << 30
+                ),
+            }
     finally:
         spark.stop()
 
     # ---- headline crawl throughput (own subprocess = fresh JVM) ----
+    # kept at 200k pages/SF-unit for like-for-like round-over-round
+    # comparison with BENCH_r01/r02
     crawl = run_crawl(f"local[{CPUS}]", CRAWL_PAGES)
     result["crawl"] = crawl
     result["metric"] = "crawl_urls_per_sec"
     result["value"] = crawl["urls_per_sec"]
+
+    # ---- sustained design-point crawl: 4M pages on local[32] (the
+    # largest size this sandbox allows; round-3 verdict ask). No
+    # warmup — an ~10-minute crawl self-warms in its first rounds ----
+    if os.environ.get("SPARK_GRAFT_SKIP_SUSTAINED") != "1":
+        result["crawl_sustained"] = run_crawl(
+            f"local[{CPUS}]", 4_000_000, warmup=False
+        )
 
     # ---- scaling evidence (opt-in; north rule: N vs 4N cores) ----
     # measured at ≥1M pages where parallel work dominates the per-round

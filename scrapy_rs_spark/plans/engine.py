@@ -800,6 +800,9 @@ class CrawlEngine:
         )
 
         stats = CrawlStats()
+        # a prior stop() leaves the resume event set; a stale set event
+        # would make the next pause() fall straight through
+        self._resume_event.clear()
         for m in self.store.load_metrics():
             stats.record(m)
         last = self.store.latest_round()
