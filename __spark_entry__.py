@@ -691,6 +691,86 @@ def _q_dynamic_item_fields(spark, sf_dir):
     return docs.select("doc_id", F.explode(fields).alias("key", "value"))
 
 
+def _q_repetition_score(spark, sf_dir):
+    """Gopher-style within-doc repetition feature: fraction of word
+    bigrams that repeat an earlier bigram in the same document."""
+    from scrapy_rs_spark.operators.textdedup import repetition_score
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return repetition_score(docs, n=2)
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark contamination via 13-gram hash join (GPT-3/PaLM
+    convention): benchmark = docs with doc_id%97==0; the corpus is the
+    remaining docs plus PLANTED copies of the benchmark (id+100000) —
+    the check must find exactly the planted copies."""
+    from scrapy_rs_spark.operators.textdedup import contamination_check
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            bench.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+    )
+    return contamination_check(corpus, bench, n=13)
+
+
+def _q_quota_sample(spark, sf_dir):
+    """Deterministic mixture sampling by language (training-mix
+    balancing): keep-rate per lang, membership a pure hash of doc_id."""
+    from scrapy_rs_spark.operators.curation import quota_sample
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    out = quota_sample(
+        docs, {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.5, "zh": 0.1}
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide duplicated-passage removal over 10-word
+    chunks; docs with doc_id%5==0 are planted twice (id+100000) so
+    every chunk of theirs is corpus-duplicated and must be dropped
+    from BOTH copies; unique docs keep all chunks."""
+    from scrapy_rs_spark.operators.curation import chunk_dedup
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return chunk_dedup(corpus, chunk_words=10)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction (email/ipv4/phone) as a codegen'd regexp_replace
+    chain; the corpus carries no PII, so deterministic PII is appended
+    per doc (identically in the oracle) and must be found+redacted."""
+    from scrapy_rs_spark.functions.analysis import pii_count, pii_scrub
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        F.pmod(F.col("doc_id"), 256).cast("string"),
+        F.lit(".0.1 call +1 555-010-0199"),
+    )
+    return docs.select(
+        "doc_id",
+        pii_scrub(t).alias("scrubbed"),
+        pii_count(t, "email").cast("bigint").alias("n_email"),
+        pii_count(t, "ipv4").cast("bigint").alias("n_ip"),
+        pii_count(t, "phone").cast("bigint").alias("n_phone"),
+    )
+
+
 def _q_crawl_bfs(spark, sf_dir):
     """The crawl spine as an oracle-checked query: 3 BFS rounds over the
     closed-form (i+k+1)%N mock-site link graph — iterative DataFrame
@@ -774,11 +854,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": _q_latest_snapshot,
         "split_by_hash": _q_split_by_hash,
         "pack_sequences": _q_pack_sequences,
+        "repetition_score": _q_repetition_score,
+        "contamination": _q_contamination,
+        "quota_sample": _q_quota_sample,
+        "chunk_dedup": _q_chunk_dedup,
+        "pii_scrub": _q_pii_scrub,
         "crawl_bfs": _q_crawl_bfs,
     }
 
 
+# 13-gram concat chain for the contamination oracle (lead(w,1..12))
+_LEAD13 = " || ' ' || ".join(
+    ["w"] + [f"lead(w, {i}) OVER win" for i in range(1, 13)]
+)
+
+
 def oracle_sql() -> dict[str, str]:
+    from scrapy_rs_spark.functions.analysis import PII_PATTERNS as _PII
+
     h = _h32_duck
     stop = "['the','a','an','and','of','to','in','is','it','that','for','on','with','as','are','was','this','by','be','or']"
     return {
@@ -1049,6 +1142,80 @@ SELECT doc_id, n_tokens, group_id,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            / 500.0) AS BIGINT) AS bin_id
 FROM g""",
+        "repetition_score": f"""
+WITH {_words_cte_duck()},
+bi AS (SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS g,
+              lead(w, 1) OVER win AS w1
+       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+grams AS (SELECT doc_id, g FROM bi WHERE w1 IS NOT NULL),
+per AS (SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+        FROM grams GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_distinct, 0) AS n_distinct,
+       round(CASE WHEN COALESCE(p.n_grams, 0) > 0
+                  THEN 1.0 - CAST(p.n_distinct AS DOUBLE) / p.n_grams
+                  ELSE 0.0 END, 6) AS rep_ratio
+FROM documents d LEFT JOIN per p USING (doc_id)""",
+        "contamination": f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id % 97 = 0),
+cw AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+              unnest(string_split(text, ' ')) AS w FROM corpus),
+cg AS (SELECT doc_id, {_LEAD13} AS g, lead(w, 12) OVER win AS wl
+       FROM cw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+cgrams AS (SELECT doc_id, g FROM cg WHERE wl IS NOT NULL),
+bw AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+              unnest(string_split(text, ' ')) AS w
+       FROM documents WHERE doc_id % 97 = 0),
+bg AS (SELECT doc_id, {_LEAD13} AS g, lead(w, 12) OVER win AS wl
+       FROM bw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+bgrams AS (SELECT DISTINCT g FROM bg WHERE wl IS NOT NULL)
+SELECT doc_id, COUNT(DISTINCT g) AS n_contaminated_grams
+FROM cgrams WHERE g IN (SELECT g FROM bgrams)
+GROUP BY doc_id""",
+        "quota_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {h("'quota' || chr(0) || CAST(doc_id AS VARCHAR)")} % 10000 <
+      CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                WHEN 'fr' THEN 2500 WHEN 'es' THEN 5000
+                WHEN 'zh' THEN 1000 ELSE 0 END""",
+        "chunk_dedup": """
+WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id % 5 = 0),
+w AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS w FROM corpus),
+chunks AS (SELECT doc_id, CAST(pos // 10 AS INT) AS chunk_id,
+                  string_agg(w, ' ' ORDER BY pos) AS chunk
+           FROM w GROUP BY 1, 2),
+freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1)
+SELECT c.doc_id,
+       COALESCE(string_agg(c.chunk, ' ' ORDER BY c.chunk_id)
+                FILTER (WHERE f.n_docs <= 1), '') AS text_clean,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_chunks
+FROM chunks c JOIN freq f ON f.chunk = c.chunk
+GROUP BY c.doc_id""",
+        "pii_scrub": f"""
+WITH t AS (SELECT doc_id,
+       text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.0.1 call +1 555-010-0199' AS t
+       FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII["email"]}', '<EMAIL>', 'g'),
+           '{_PII["ipv4"]}', '<IPV4>', 'g'),
+           '{_PII["phone"]}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(t, '{_PII["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII["ipv4"]}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t, '{_PII["phone"]}')) AS BIGINT) AS n_phone
+FROM t""",
         "crawl_bfs": """
 WITH RECURSIVE edges AS (
   SELECT src, (src + k) % 50 AS dst

@@ -130,6 +130,34 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes + bounded quantifiers only, no
+# backreferences/lookaround. Conservative by design — a production
+# pipeline layers model-based NER behind the same column contract.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+[0-9]{1,3}[ \-][0-9]{2,4}[ \-][0-9]{3,4}[ \-][0-9]{3,4}",
+}
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact PII spans with <KIND> tags, applied in a fixed order
+    (email → ipv4 → phone) so the output is deterministic. Pure JVM
+    regexp_replace chain — codegen'd, no Python, linear scans."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = c
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern kind."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
 def normalize_text(text: Column | str) -> Column:
     """Pinned normalization for fingerprinting: lowercase + collapse
     whitespace runs + trim."""

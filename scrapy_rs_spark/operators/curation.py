@@ -121,3 +121,109 @@ def pack_sequences(
     return grouped.withColumn(
         "bin_id", F.floor(prefix / F.lit(max_tokens)).cast("bigint")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "quota",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each row with its group's
+    rate (e.g. upsample-free language/domain balancing for a training
+    mix — lang en:1.0, fr:0.25, …). Membership is a pure hash of the
+    key (h32(salt||key) % 10000 < rate·10000): no rand(), stable under
+    re-runs and engine changes, and adding rows never flips existing
+    decisions — the property a reproducible data recipe needs.
+
+    One codegen'd projection + filter, no shuffle; group rates ride as
+    a literal CASE, so 10^10 rows never touch a join for the config."""
+    bucket = F.pmod(
+        h32(
+            F.concat(F.lit(salt), F.lit("\x00"), F.col(key_col).cast("string"))
+        ),
+        F.lit(10_000),
+    )
+    rate: Column | None = None
+    for name, r in rates.items():
+        cond = F.col(group_col) == F.lit(name)
+        thresh = F.lit(int(round(r * 10_000)))
+        rate = F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
+    rate = (
+        F.lit(int(round(default_rate * 10_000)))
+        if rate is None
+        else rate.otherwise(F.lit(int(round(default_rate * 10_000))))
+    )
+    return df.filter(bucket < rate)
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    max_dups: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-passage removal (CCNet-style paragraph
+    dedup, restated over fixed word-window chunks since the corpus
+    carries no newlines): any chunk whose exact text occurs in MORE
+    than max_dups documents is dropped from every document; survivors
+    are reassembled in order.
+
+    Shape at scale: words → chunks is a per-doc aggregation; the
+    corpus-wide chunk frequency is one partial-agg shuffle keyed by
+    md5(chunk) (boilerplate chunks are hot keys, but the count agg
+    combines map-side so no single reducer sees raw rows); the final
+    reassembly is again per-doc. Output: (doc_id, text_clean,
+    n_chunks, n_dropped_chunks)."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    chunks = (
+        words.withColumn(
+            "chunk_id", (F.col("pos") / F.lit(chunk_words)).cast("int")
+        )
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("chunk")
+        )
+    )
+    freq = (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+    )
+    tagged = chunks.join(
+        freq, F.md5(chunks["chunk"]) == freq["chunk_hash"], "left"
+    ).select(
+        id_col,
+        "chunk_id",
+        "chunk",
+        (F.col("n_docs") > F.lit(max_dups)).alias("dropped"),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("dropped"),
+                            F.struct("chunk_id", "chunk"),
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.col("dropped").cast("bigint")).alias("n_dropped_chunks"),
+    )

@@ -257,6 +257,69 @@ def dedup_clusters(
     )
 
 
+def repetition_score(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition (Gopher-style repetition filter
+    feature): the fraction of word n-grams that are duplicates of an
+    earlier n-gram in the same document — high values flag boilerplate
+    and degenerate generations. rep_ratio = 1 - distinct/total
+    (0 for docs shorter than n words).
+
+    One per-doc aggregation over the shingle explode — partial aggs
+    map-side, no cross-doc shuffle keys, so a 10^10-doc corpus scales
+    linearly. Output: (doc_id, n_grams, n_distinct, rep_ratio)."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    per = sh.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.countDistinct("shingle").cast("bigint").alias("n_distinct"),
+    )
+    return docs.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                1.0 - F.col("n_distinct") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark contamination: which training documents contain any
+    word n-gram (n=13, the GPT-3/PaLM convention) that also appears in
+    a held-out benchmark set. The join runs on md5(shingle) — an
+    equi-join shuffle keyed by gram hash, never a doc×doc comparison —
+    and the benchmark side (tiny next to a training corpus) is
+    broadcast. Output: (doc_id, n_contaminated_grams) for contaminated
+    docs only."""
+    corpus_sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.md5("shingle").alias("gram")
+    )
+    bench_sh = (
+        shingles(benchmark, n=n, id_col=id_col, text_col=text_col)
+        .select(F.md5("shingle").alias("gram"))
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_contaminated_grams"))
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

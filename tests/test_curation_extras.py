@@ -79,3 +79,95 @@ def test_pack_sequences_budget_property(spark):
     }
     for r in rows:
         assert again[r.doc_id] == (r.group_id, r.bin_id)
+
+
+def test_repetition_score_closed_form(spark):
+    from scrapy_rs_spark.operators.textdedup import repetition_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "solo")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in repetition_score(docs, n=2).collect()}
+    # "a b a b a b": bigrams [ab, ba, ab, ba, ab] → 5 total, 2 distinct
+    assert out[1].n_grams == 5 and out[1].n_distinct == 2
+    assert out[1].rep_ratio == 0.6
+    assert out[2].rep_ratio == 0.0
+    # shorter than n words → no grams, ratio 0 (not NULL)
+    assert out[3].n_grams == 0 and out[3].rep_ratio == 0.0
+
+
+def test_contamination_finds_planted_copy(spark):
+    from scrapy_rs_spark.operators.textdedup import contamination_check
+
+    words = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"v{i}" for i in range(20))
+    bench = spark.createDataFrame([(0, words)], "doc_id BIGINT, text STRING")
+    corpus = spark.createDataFrame(
+        [(10, words), (11, other)], "doc_id BIGINT, text STRING"
+    )
+    rows = contamination_check(corpus, bench, n=13).collect()
+    # doc 10 shares all 8 of its 13-grams with the benchmark; 11 none
+    assert {(r.doc_id, r.n_contaminated_grams) for r in rows} == {(10, 8)}
+
+
+def test_quota_sample_deterministic_and_subset_stable(spark):
+    from scrapy_rs_spark.operators.curation import quota_sample
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    rates = {"en": 1.0, "zh": 0.2}
+    kept1 = {r.doc_id for r in quota_sample(docs, rates).collect()}
+    kept2 = {r.doc_id for r in quota_sample(docs, rates).collect()}
+    assert kept1 == kept2  # pure function of the key
+    # every en row kept; zh thinned to ~20%
+    assert all(d in kept1 for d in range(0, 1000, 2))
+    zh_kept = sum(1 for d in kept1 if d % 2 == 1)
+    assert 50 <= zh_kept <= 150
+    # subset stability: decisions don't change when rows are removed
+    sub = docs.filter(F.col("doc_id") < 500)
+    kept_sub = {r.doc_id for r in quota_sample(sub, rates).collect()}
+    assert kept_sub == {d for d in kept1 if d < 500}
+
+
+def test_chunk_dedup_drops_corpus_duplicates_only(spark):
+    from scrapy_rs_spark.operators.curation import chunk_dedup
+
+    dup = " ".join(f"d{i}" for i in range(20))  # 2 chunks of 10
+    unique = " ".join(f"u{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, unique)], "doc_id BIGINT, text STRING"
+    )
+    out = {r.doc_id: r for r in chunk_dedup(docs, chunk_words=10).collect()}
+    # both copies of the duplicated doc lose ALL their chunks
+    assert out[1].n_dropped_chunks == 2 and out[1].text_clean == ""
+    assert out[2].n_dropped_chunks == 2
+    # the unique doc is reassembled byte-identically
+    assert out[3].n_dropped_chunks == 0 and out[3].text_clean == unique
+
+
+def test_pii_scrub_patterns(spark):
+    from scrapy_rs_spark.functions.analysis import pii_count, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c%d@sub.example.org then 192.168.0.1 and"
+             " +44 20-7946-0958 done"),
+         (2, "no pii here at all")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_scrub("text").alias("s"),
+            pii_count("text", "email").alias("e"),
+            pii_count("text", "ipv4").alias("i"),
+            pii_count("text", "phone").alias("p"),
+        ).collect()
+    }
+    assert out[1].s == "mail <EMAIL> then <IPV4> and <PHONE> done"
+    assert (out[1].e, out[1].i, out[1].p) == (1, 1, 1)
+    assert out[2].s == "no pii here at all"
+    assert (out[2].e, out[2].i, out[2].p) == (0, 0, 0)
