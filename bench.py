@@ -94,11 +94,35 @@ def _crawl_once(spark, pages_n: int) -> dict:
         shutil.rmtree(store, ignore_errors=True)
 
 
+class _TimedEngine:
+    """Mixin factory: subclass CrawlEngine with per-round wall times
+    (localizes a regression to a stage instead of requiring a bisect)."""
+
+    _cls = None
+
+    @classmethod
+    def make(cls):
+        if cls._cls is None:
+            from scrapy_rs_spark.plans.engine import CrawlEngine
+
+            class _Timed(CrawlEngine):
+                round_times: list  # set after construction
+
+                def _run_round(self, *a, **kw):
+                    t0 = time.time()
+                    m = super()._run_round(*a, **kw)
+                    self.round_times.append(round(time.time() - t0, 3))
+                    return m
+
+            cls._cls = _Timed
+        return cls._cls
+
+
 def _crawl_polite_once(spark, pages_n: int, n_hosts: int = 100) -> dict:
     """Politeness-enabled multi-host crawl: per-host budgets via the
     salted two-phase rank (the headline crawl's fast path skips it, so
-    this benches the W2/J4/T1 machinery explicitly)."""
-    from scrapy_rs_spark.plans.engine import CrawlEngine
+    this benches the W2/J4/T1 machinery explicitly). Per-round times
+    included so budget-path regressions localize to a round/stage."""
     from scrapy_rs_spark.settings import Settings
     from scrapy_rs_spark.sources.mocksite import mock_multihost_pages
 
@@ -108,7 +132,7 @@ def _crawl_polite_once(spark, pages_n: int, n_hosts: int = 100) -> dict:
             spark, pages_n, n_hosts=n_hosts, links_per_page=CRAWL_LINKS,
             golden_text=False,
         ).localCheckpoint(eager=True)
-        eng = CrawlEngine(
+        eng = _TimedEngine.make()(
             spark,
             pages,
             Settings(
@@ -118,6 +142,7 @@ def _crawl_polite_once(spark, pages_n: int, n_hosts: int = 100) -> dict:
             ),
             store_path=store,
         )
+        eng.round_times = []
         # spread seeds across the page space (a contiguous block would
         # only advance links_per_page pages per round in this graph)
         seeds = [
@@ -134,6 +159,7 @@ def _crawl_polite_once(spark, pages_n: int, n_hosts: int = 100) -> dict:
             "rounds": stats.rounds,
             "seconds": round(dt, 2),
             "urls_per_sec": round(stats.requests / dt, 1),
+            "round_times": eng.round_times,
         }
     finally:
         shutil.rmtree(store, ignore_errors=True)
@@ -144,31 +170,21 @@ def _crawl_deep_once(
 ) -> dict:
     """Long-crawl seen-set evidence (round-3 verdict ask): a single-seed
     BFS over the (i+k+1)%N graph discovers ~links pages per level, so
-    n_pages=320/links=5 yields a ~64-round crawl. Per-round wall times
+    n_pages=270/links=5 yields a ~54-round crawl. Per-round wall times
     expose the seen-delta pile-up: without compaction every round's
     anti-join unions one more delta dir (listing + read per round),
     with the default compact-every-16 cadence late rounds stay flat."""
     import statistics
 
-    from scrapy_rs_spark.plans.engine import CrawlEngine
     from scrapy_rs_spark.settings import Settings
     from scrapy_rs_spark.sources.mocksite import mock_site_pages
-
-    class _TimedEngine(CrawlEngine):
-        round_times: list  # set after construction
-
-        def _run_round(self, *a, **kw):
-            t0 = time.time()
-            m = super()._run_round(*a, **kw)
-            self.round_times.append(round(time.time() - t0, 3))
-            return m
 
     store = tempfile.mkdtemp(prefix="bench_deep_")
     try:
         pages = mock_site_pages(
             spark, page_count=n_pages, links_per_page=links, golden_text=False
         ).localCheckpoint(eager=True)
-        eng = _TimedEngine(
+        eng = _TimedEngine.make()(
             spark,
             pages,
             Settings(
@@ -351,7 +367,22 @@ def main() -> None:
             "efficiency_n_to_4n": eff,
         }
 
-    print(json.dumps(result))
+    # artifact handoff (round-3 verdict ask #3): the driver's stdout
+    # capture truncated the r3 JSON line. Write the authoritative record
+    # to a FILE next to bench.py, then print the same JSON as the very
+    # last line (console progress is disabled in build_session, and all
+    # Spark sessions are stopped by here, so nothing can interleave).
+    payload = json.dumps(result)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the record
+    sys.stdout.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

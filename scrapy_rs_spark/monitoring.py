@@ -18,6 +18,9 @@ Endpoints (reference server.rs routes):
   /metrics   → JSON snapshot (totals, per-round, rates)
   /          → minimal HTML dashboard (totals table + per-round rows)
   /health    → {"status": "ok"}
+  /events    → timestamped signal-event history (bounded ring buffer,
+               reference monitoring/src/lib.rs:99-105 event Vec +
+               broadcast channel — attach via attach_signals())
 """
 
 from __future__ import annotations
@@ -34,10 +37,49 @@ _COUNTERS = ("requests", "responses", "items", "errors", "retries", "new_urls")
 class CrawlMonitor:
     """Reads committed round metrics and serves them."""
 
-    def __init__(self, store: CrawlStore):
+    def __init__(self, store: CrawlStore, max_events: int = 1024):
         self.store = store
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # bounded event-history ring buffer (reference
+        # monitoring/src/lib.rs:99-105: timestamped event Vec). Oldest
+        # events are evicted past max_events; seq is a monotonic counter
+        # so consumers can detect eviction gaps. Wall-clock ts is
+        # observational only — never feeds dataflow identity/order.
+        from collections import deque
+
+        self.max_events = max_events
+        self._events: deque = deque(maxlen=max_events)
+        self._event_seq = 0
+        self._event_lock = threading.Lock()
+
+    # ---- event history (lib.rs:99-105 event buffer + broadcast) ----
+    def attach_signals(self, signals) -> None:
+        """Subscribe to every signal on a SignalManager; each delivery
+        appends (seq, ts, signal, payload) to the ring buffer."""
+        from scrapy_rs_spark.plans.signals import ALL_SIGNALS
+
+        for sig in ALL_SIGNALS:
+            signals.connect(sig, self._record_event)
+
+    def _record_event(self, signal: str, payload: dict) -> None:
+        import time
+
+        with self._event_lock:
+            self._events.append(
+                {
+                    "seq": self._event_seq,
+                    "ts": round(time.time(), 3),
+                    "signal": signal,
+                    "payload": payload,
+                }
+            )
+            self._event_seq += 1
+
+    def events(self) -> list[dict]:
+        """Snapshot of the retained event history, oldest first."""
+        with self._event_lock:
+            return list(self._events)
 
     # ---- snapshot (metrics.rs:94-137: totals + success/error rates) ----
     def snapshot(self) -> dict:
@@ -88,6 +130,14 @@ class CrawlMonitor:
                     self._send(200, b'{"status": "ok"}', "application/json")
                 elif self.path == "/metrics":
                     body = json.dumps(monitor.snapshot()).encode()
+                    self._send(200, body, "application/json")
+                elif self.path == "/events":
+                    body = json.dumps(
+                        {
+                            "max_events": monitor.max_events,
+                            "events": monitor.events(),
+                        }
+                    ).encode()
                     self._send(200, body, "application/json")
                 elif self.path in ("/", "/dashboard"):
                     self._send(200, monitor._dashboard_html(), "text/html")

@@ -165,6 +165,7 @@ def chunk_dedup(
     max_dups: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_chunks_per_doc: int | None = None,
 ) -> DataFrame:
     """Corpus-wide duplicated-passage removal (CCNet-style paragraph
     dedup, restated over fixed word-window chunks since the corpus
@@ -177,7 +178,13 @@ def chunk_dedup(
     md5(chunk) (boilerplate chunks are hot keys, but the count agg
     combines map-side so no single reducer sees raw rows); the final
     reassembly is again per-doc. Output: (doc_id, text_clean,
-    n_chunks, n_dropped_chunks)."""
+    n_chunks, n_dropped_chunks).
+
+    The reassembly collect_list is bounded by document size; set
+    max_chunks_per_doc to make a pathological document (e.g. 10^6
+    chunks) fail LOUDLY executor-side (assert_true row predicate —
+    no extra job, evaluated before the aggregation buffers anything)
+    instead of OOMing an executor mid-agg."""
     words = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
@@ -209,6 +216,21 @@ def chunk_dedup(
         "chunk",
         (F.col("n_docs") > F.lit(max_dups)).alias("dropped"),
     )
+    if max_chunks_per_doc is not None:
+        guard = F.assert_true(
+            F.col("chunk_id") < F.lit(max_chunks_per_doc),
+            F.concat(
+                F.lit("chunk_dedup: doc "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" exceeds max_chunks_per_doc={max_chunks_per_doc}"
+                    " chunks; raise the limit or pre-split the document"
+                ),
+            ),
+        )
+        # assert_true yields NULL when the predicate holds, raises
+        # otherwise — the filter keeps every surviving row
+        tagged = tagged.filter(guard.isNull())
     return tagged.groupBy(id_col).agg(
         F.concat_ws(
             " ",

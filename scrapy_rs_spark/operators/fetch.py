@@ -34,7 +34,11 @@ REDIRECT_STATUSES = [301, 302, 303, 307, 308]
 RETRYABLE_STATUSES = [408, 429, 500, 502, 503, 504]
 
 
-def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_join(
+    batch: DataFrame,
+    pages: DataFrame,
+    default_timeout_ms: int | None = None,
+) -> DataFrame:
     """Left-join the ranked batch to the pages table on canonical url —
     and on method too when the pages table distinguishes methods, so a
     GET and a POST of the same URL (distinct request identities,
@@ -52,12 +56,15 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
     method_aware = "method" in pages.columns and "method" in batch.columns
     # per-request timeout (request.rs:74-82): when the pages table
     # carries an observed latency_ms, rows slower than the request's
-    # timeout_ms behave as if the body never arrived — status/html
-    # nulled, so is_retryable routes them to retry like the reference's
-    # Error::Timeout (error.rs:446-472); fetch_error_class distinguishes
-    # 'timeout' from 'connection'
-    timeout_aware = (
-        "latency_ms" in pages.columns and "timeout_ms" in batch.columns
+    # effective timeout behave as if the body never arrived — status/
+    # html nulled, so is_retryable routes them to retry like the
+    # reference's Error::Timeout (error.rs:446-472); fetch_error_class
+    # distinguishes 'timeout' from 'connection'. The effective timeout
+    # is the per-row timeout_ms, falling back to default_timeout_ms
+    # (settings.request_timeout_ms — schemas.py's documented NULL
+    # semantics); with neither set, rows never classify as timeouts.
+    timeout_aware = "latency_ms" in pages.columns and (
+        "timeout_ms" in batch.columns or default_timeout_ms is not None
     )
     proj = [
         F.col("url").alias("__p_url"),
@@ -69,6 +76,11 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
         proj.append(F.col("method").alias("__p_method"))
     if timeout_aware:
         proj.append(F.col("latency_ms").alias("__p_latency"))
+    # optional transport metadata (response.rs:35-45) rides through to
+    # response middlewares / item pipelines when the pages table has it
+    for c in ("certificate", "ip_address", "protocol"):
+        if c in pages.columns:
+            proj.append(F.col(c).alias(c))
     p = pages.select(*proj)
     # response columns own the plain names; request-side columns that
     # collide (e.g. headers set by request middleware) become req_*
@@ -82,8 +94,18 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
         cond = cond & (batch["method"] == p["__p_method"])
     joined = batch.join(p, cond, "left").drop("__p_url", "__p_method")
     if timeout_aware:
+        per_row = (
+            F.col("timeout_ms")
+            if "timeout_ms" in batch.columns
+            else F.lit(None).cast("bigint")
+        )
+        eff_timeout = (
+            F.coalesce(per_row, F.lit(default_timeout_ms).cast("bigint"))
+            if default_timeout_ms is not None
+            else per_row
+        )
         timed_out = F.coalesce(
-            F.col("__p_latency") > F.col("timeout_ms"), F.lit(False)
+            F.col("__p_latency") > eff_timeout, F.lit(False)
         )
         joined = (
             joined.withColumn("timed_out", timed_out)
@@ -194,6 +216,7 @@ def build_retries(
         "timeout_ms",
         "encoding",
         "flags",
+        "proxy",
     ]
     kept = retry_rows.filter(
         F.col("retry_count") < F.lit(settings.max_retries)

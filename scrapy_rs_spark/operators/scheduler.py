@@ -270,6 +270,7 @@ class FrontierScheduler:
             .withColumn("timeout_ms", F.lit(None).cast("bigint"))
             .withColumn("encoding", F.lit(None).cast("string"))
             .withColumn("flags", F.lit(None).cast("array<string>"))
+            .withColumn("proxy", F.lit(None).cast("string"))
         )
         df = apply_enqueue_filters(df, self.settings)
         df = dedup_in_batch(df)

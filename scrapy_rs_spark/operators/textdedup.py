@@ -155,15 +155,21 @@ def dedup_clusters(
 
     The step a real pipeline runs AFTER pair generation (exact/minhash/
     simhash/embedding pairs all feed it). Iterative min-label
-    propagation PLUS pointer jumping as DataFrame jobs: each round every
-    node takes the min of its own, its neighbors', and its label's
-    label (label(label(u)) — path halving), so a component of diameter
-    d converges in O(log d) rounds, not O(d). Each round is one
-    equi-join + partial-agg shuffle on node id plus a self-join on the
-    label key; labels are locally checkpointed per round so lineage
-    stays flat, and the convergence check rides the SAME materializing
-    action (a changed-label sum on the lazily-checkpointed result) —
-    one Spark job per round, no separate convergence job.
+    propagation PLUS pointer jumping, FUSED into one join per round:
+    the graph edges and the label pointers (u → label(u)) are unioned
+    into a single message list, so one equi-join against the label
+    table + one grouped min computes
+        label(u) ← min(min_{v∈N(u)} label(v), label(label(u)))
+    — the pointer message label(label(u)) ≤ label(u) (labels never
+    exceed their node id), so u's own label is dominated and needs no
+    separate term, and every node emits a pointer so the inner join
+    covers all nodes. Path halving makes a component of diameter d
+    converge in O(log d) rounds; each round is ONE shuffle join + one
+    partial-agg, half the joins of the unfused form. Labels are locally
+    checkpointed per round so lineage stays flat; convergence rides the
+    SAME materializing action (labels only ever decrease, so the label
+    sum strictly decreases until fixpoint — an exact decimal sum on the
+    lazily-checkpointed result, one Spark job per round).
 
     Labels only ever decrease and are always ids of nodes inside the
     same component (neighbor labels and label-of-label both stay in
@@ -194,53 +200,32 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     converged = False
-    iters = 0
+    prev_sum = None
     for _ in range(max_iters):
-        iters += 1
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # message list: graph edges (u hears each neighbor's label) ∪
+        # pointer edges (u hears its label's label — the jump)
+        msgs = edges.unionByName(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("dst"))
         )
-        stepped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
-            "id",
-            F.col("label").alias("old_label"),
-            F.least(
-                F.col("label"),
-                F.coalesce(F.col("nbr_label"), F.col("label")),
-            ).alias("label"),
-        )
-        # pointer jump: label(u) ← min(label(u), label(label(u))) — the
-        # label key is itself a node id, so a self-join fetches its
-        # (post-step) label; halves the remaining chain length per round
-        parent = stepped.select(
-            F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+        lab = labels.select(
+            F.col("id").alias("__lid"), F.col("label").alias("__llabel")
         )
         new_labels = (
-            stepped.join(parent, stepped["label"] == parent["__pid"], "left")
-            .select(
-                "id",
-                "old_label",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("__plabel"), F.col("label")),
-                ).alias("label"),
-            )
-            # second stage so __chg compares the POST-jump label
-            .select(
-                "id",
-                "label",
-                (F.col("label") != F.col("old_label")).cast("long").alias(
-                    "__chg"
-                ),
-            )
+            msgs.join(lab, msgs["dst"] == lab["__lid"])
+            .groupBy("src")
+            .agg(F.min("__llabel").alias("label"))
+            .select(F.col("src").alias("id"), "label")
             .localCheckpoint(eager=False)  # materialized by the agg below
         )
-        n_changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
-        labels = new_labels.select("id", "label")
-        if n_changed == 0:
+        # exact decimal sum (ids may be 64-bit hashes; long would wrap)
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         msg = (
             f"dedup_clusters did not converge in max_iters={max_iters}"

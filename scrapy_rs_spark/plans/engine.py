@@ -74,6 +74,7 @@ FRONTIER_COLS = [
     "timeout_ms",
     "encoding",
     "flags",
+    "proxy",
 ]
 
 # effectively-unlimited per-host budget when no politeness delay is set
@@ -196,6 +197,25 @@ class CrawlEngine:
             self._host_delays_flag = flag
         return self._host_delays_flag
 
+    @property
+    def _has_long_delays(self) -> bool:
+        """True when ANY effective delay can exceed round_duration_ms —
+        only then does the budget need the cross-round phase machinery
+        (ceil/pmod/xxhash64 per row). Short-delay crawls take the cheap
+        round/delay budget expression. Cached; at most one tiny agg on
+        the broadcastable robots policy table."""
+        if not hasattr(self, "_long_delays_flag"):
+            s = self.settings
+            if max(s.domain_delay_ms, s.download_delay_ms) > s.round_duration_ms:
+                self._long_delays_flag = True
+            elif not self._has_host_delays:
+                self._long_delays_flag = False
+            else:
+                self._long_delays_flag = not self.robots.filter(
+                    F.col("crawl_delay_ms") > F.lit(s.round_duration_ms)
+                ).isEmpty()
+        return self._long_delays_flag
+
     def _cap_left_col(self):
         """Remaining lifetime per-domain budget (F6). Unlike the delay
         budget this is the ONLY condition that may RETIRE frontier rows
@@ -228,18 +248,27 @@ class CrawlEngine:
             F.lit(delay).cast("bigint"),
         )
         round_ms = F.lit(s.round_duration_ms).cast("bigint")
-        period = F.ceil(eff_delay / round_ms).cast("int")
-        on_phase = F.pmod(F.lit(rnd), period) == F.pmod(
-            F.xxhash64(F.col("host")), period
+        short_budget = F.when(eff_delay <= 0, F.lit(_UNLIMITED)).otherwise(
+            F.greatest(F.lit(1), (round_ms / eff_delay).cast("int"))
         )
-        budget = (
-            F.when(eff_delay <= 0, F.lit(_UNLIMITED))
-            .when(
-                eff_delay <= round_ms,
-                F.greatest(F.lit(1), (round_ms / eff_delay).cast("int")),
+        if self._has_long_delays:
+            period = F.ceil(eff_delay / round_ms).cast("int")
+            on_phase = F.pmod(F.lit(rnd), period) == F.pmod(
+                F.xxhash64(F.col("host")), period
             )
-            .otherwise(F.when(on_phase, F.lit(1)).otherwise(F.lit(0)))
-        )
+            budget = (
+                F.when(eff_delay <= 0, F.lit(_UNLIMITED))
+                .when(
+                    eff_delay <= round_ms,
+                    F.greatest(F.lit(1), (round_ms / eff_delay).cast("int")),
+                )
+                .otherwise(F.when(on_phase, F.lit(1)).otherwise(F.lit(0)))
+            )
+        else:
+            # no host's effective delay exceeds the round → the phase
+            # branch is unreachable; skip the per-row ceil/pmod/xxhash64
+            # entirely (the r3→r4 crawl_polite recovery)
+            budget = short_budget
         if s.max_requests_per_domain is not None:
             budget = F.least(budget, self._cap_left_col())
         return budget
@@ -407,7 +436,9 @@ class CrawlEngine:
                 ).drop("__served", "__host_delay")
 
         # ---- fetch (J2) + route ----
-        fetched = fetch_join(batch, self.pages)
+        fetched = fetch_join(
+            batch, self.pages, default_timeout_ms=s.request_timeout_ms
+        )
         if self.response_middlewares is not None:
             fetched = self.response_middlewares(fetched)  # X3
         fetched = fetched.localCheckpoint(eager=True)
@@ -446,6 +477,25 @@ class CrawlEngine:
         success = routes["success"].repartition(
             self.spark.sparkContext.defaultParallelism
         )
+        # optional transport metadata (response.rs:35-45) projected by
+        # fetch_join when the pages table carries it — surfaced to item
+        # pipelines through the items.fields map (response middlewares
+        # already see the raw columns on the fetched frame)
+        transport = [
+            c
+            for c in ("certificate", "ip_address", "protocol")
+            if c in fetched.columns
+        ]
+        if transport:
+            transport_fields = F.map_filter(
+                F.map_from_arrays(
+                    F.array(*[F.lit(c) for c in transport]),
+                    F.array(*[F.col(c).cast("string") for c in transport]),
+                ),
+                lambda _, v: v.isNotNull(),
+            )
+        else:
+            transport_fields = F.lit(None).cast("map<string,string>")
         if self._default_parse:
             # single-pass parse: text+links in ONE UDF over each page,
             # materialized once (html dropped immediately after) — both
@@ -455,6 +505,7 @@ class CrawlEngine:
                 "url_canon",
                 "depth",
                 "cookies",
+                transport_fields.alias("__tf"),
                 # per-request decode override (request.rs:74-90):
                 # encoding NULL → strict UTF-8, like the reference
                 parse_page_enc_udf(F.col("html"), F.col("encoding")).alias(
@@ -465,7 +516,7 @@ class CrawlEngine:
                 F.col("url"),
                 F.lit("extracted_text").alias("item_type"),
                 F.col("p.text").alias("text"),
-                F.lit(None).cast("map<string,string>").alias("fields"),
+                F.col("__tf").alias("fields"),
                 F.lit(rnd).alias("rnd"),
             )
             raw_links = parsed.select(
@@ -475,10 +526,12 @@ class CrawlEngine:
                 F.explode(F.col("p.links")).alias("href"),
             )
         else:
+            # a custom parse_fields_udf owns the fields map; otherwise
+            # transport metadata (when present) rides there
             fields_col = (
                 self.parse_fields_udf(F.col("html"))
                 if self.parse_fields_udf is not None
-                else F.lit(None).cast("map<string,string>")
+                else transport_fields
             )
             items = success.select(
                 F.col("url"),
@@ -539,6 +592,7 @@ class CrawlEngine:
             .withColumn("timeout_ms", F.lit(None).cast("bigint"))
             .withColumn("encoding", F.lit(None).cast("string"))
             .withColumn("flags", F.lit(None).cast("array<string>"))
+            .withColumn("proxy", F.lit(None).cast("string"))
         )
 
         # redirects re-enter at the same depth AND priority
@@ -555,6 +609,13 @@ class CrawlEngine:
             F.col("depth"),
             F.col("priority"),
             F.col("cookies"),
+            # the reference downloader follows redirects within the SAME
+            # Request, so per-request timeout/encoding/flags persist
+            # across hops — carry them onto the re-enqueued row (a
+            # shift-jis page behind a 301 keeps its decode override)
+            F.col("timeout_ms"),
+            F.col("encoding"),
+            F.col("flags"),
             (
                 F.coalesce(
                     F.element_at(F.col("meta"), "redirect_hops").cast("int"),
@@ -574,6 +635,9 @@ class CrawlEngine:
                 "depth",
                 "priority",
                 "cookies",
+                "timeout_ms",
+                "encoding",
+                "flags",
                 "hops",
             )
             .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
@@ -596,9 +660,9 @@ class CrawlEngine:
                 ),
             )
             .withColumn("body", F.lit(None).cast("binary"))
-            .withColumn("timeout_ms", F.lit(None).cast("bigint"))
-            .withColumn("encoding", F.lit(None).cast("string"))
-            .withColumn("flags", F.lit(None).cast("array<string>"))
+            # proxy NOT inherited across redirects (reference never
+            # copies it when constructing the follow-up Request)
+            .withColumn("proxy", F.lit(None).cast("string"))
         )
         candidates = candidates.select(*FRONTIER_COLS)
         if redirs is not None:
@@ -801,8 +865,13 @@ class CrawlEngine:
 
         stats = CrawlStats()
         # a prior stop() leaves the resume event set; a stale set event
-        # would make the next pause() fall straight through
+        # would make the next pause() fall straight through. Likewise a
+        # pause() issued during (or after) the previous run's final
+        # round leaves _pause_requested set — without the reset the next
+        # run/resume would block forever at its first round boundary
+        # waiting for an unpause nobody will send
         self._resume_event.clear()
+        self._pause_requested = False
         for m in self.store.load_metrics():
             stats.record(m)
         last = self.store.latest_round()
@@ -874,7 +943,13 @@ class CrawlEngine:
                     F.col("retry_not_before_round").cast("bigint"),
                     F.lit(rnd + 1).cast("bigint"),
                 )
-                if self._has_host_delays:
+                if self._has_long_delays:
+                    # phase-aware fast-forward whenever ANY delay (robots
+                    # per-host OR global download/domain delay) exceeds
+                    # the round — exactly the rounds where the budget
+                    # phase-gates; _with_budget_inputs leaves
+                    # __host_delay NULL when robots delays are absent so
+                    # eff_delay falls back to the global delay
                     s = self.settings
                     fr2 = self._with_budget_inputs(frontier, None)
                     delay = max(s.domain_delay_ms, s.download_delay_ms)

@@ -41,6 +41,11 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("timeout_ms", T.LongType(), True),
         T.StructField("encoding", T.StringType(), True),
         T.StructField("flags", T.ArrayType(T.StringType()), True),
+        # per-request proxy URL (request.rs:86, with_proxy :218-222) —
+        # pass-through metadata in the no-network sandbox; NOT inherited
+        # by followed links or redirects (the reference doesn't copy it
+        # in Response::follow)
+        T.StructField("proxy", T.StringType(), True),
     ]
 )
 
@@ -49,7 +54,7 @@ FRONTIER_DDL = (
     " priority INT, depth INT, discovery_round INT, discovery_seq BIGINT,"
     " retry_count INT, dont_filter BOOLEAN, retry_not_before_round INT,"
     " meta MAP<STRING,STRING>, body BINARY, cookies MAP<STRING,STRING>,"
-    " timeout_ms BIGINT, encoding STRING, flags ARRAY<STRING>"
+    " timeout_ms BIGINT, encoding STRING, flags ARRAY<STRING>, proxy STRING"
 )
 
 # pages row ⇔ Response (/root/reference/core/src/response.rs:11-46) shaped to
@@ -69,6 +74,13 @@ PAGES_SCHEMA = T.StructType(
         # than the request's timeout_ms classify as timeout errors
         # (retryable, reference error.rs:446-472)
         T.StructField("latency_ms", T.LongType(), True),
+        # optional transport metadata (response.rs:35-45: certificate,
+        # ip_address, protocol) — pass-through columns projected into the
+        # fetched frame when present, visible to response middlewares and
+        # item pipelines; absent columns cost nothing
+        T.StructField("certificate", T.StringType(), True),
+        T.StructField("ip_address", T.StringType(), True),
+        T.StructField("protocol", T.StringType(), True),
     ]
 )
 

@@ -56,13 +56,15 @@ def seeds_frontier(
             df = df.withColumn("encoding", F.lit(None).cast("string"))
         if "flags" not in df.columns:
             df = df.withColumn("flags", F.lit(None).cast("array<string>"))
+        if "proxy" not in df.columns:
+            df = df.withColumn("proxy", F.lit(None).cast("string"))
     else:
         rows = []
         for i, s in enumerate(seeds):
             if isinstance(s, str):
                 rows.append(
                     (s, default_priority, 0, i, "GET", None, None,
-                     None, None, None)
+                     None, None, None, None)
                 )
             elif isinstance(s, dict):
                 rows.append(
@@ -78,19 +80,23 @@ def seeds_frontier(
                         s.get("timeout_ms"),
                         s.get("encoding"),
                         list(s["flags"]) if s.get("flags") else None,
+                        # with_proxy (request.rs:86,218-222) — metadata
+                        # pass-through, not inherited on follow
+                        s.get("proxy"),
                     )
                 )
             else:
                 url, prio, depth = (list(s) + [default_priority, 0])[:3]
                 rows.append(
                     (url, int(prio), int(depth), i, "GET", None, None,
-                     None, None, None)
+                     None, None, None, None)
                 )
         df = spark.createDataFrame(
             rows,
             "url STRING, priority INT, depth INT, discovery_seq BIGINT,"
             " method STRING, body BINARY, cookies MAP<STRING,STRING>,"
-            " timeout_ms BIGINT, encoding STRING, flags ARRAY<STRING>",
+            " timeout_ms BIGINT, encoding STRING, flags ARRAY<STRING>,"
+            " proxy STRING",
         )
     df = with_url_identity(df, "url", method_col="method")
     return (
@@ -122,5 +128,6 @@ def seeds_frontier(
             "timeout_ms",
             "encoding",
             "flags",
+            "proxy",
         )
     )

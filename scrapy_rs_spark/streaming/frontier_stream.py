@@ -47,7 +47,7 @@ FRONTIER_COLS = [
     "url", "url_canon", "url_hash", "host", "method", "priority", "depth",
     "discovery_round", "discovery_seq", "retry_count", "dont_filter",
     "retry_not_before_round", "meta", "body", "cookies",
-    "timeout_ms", "encoding", "flags",
+    "timeout_ms", "encoding", "flags", "proxy",
 ]
 
 
@@ -192,6 +192,7 @@ class StreamingCrawl:
             .withColumn("timeout_ms", F.lit(None).cast("bigint"))
             .withColumn("encoding", F.lit(None).cast("string"))
             .withColumn("flags", F.lit(None).cast("array<string>"))
+            .withColumn("proxy", F.lit(None).cast("string"))
         )
         candidates = apply_enqueue_filters(candidates, s)
         candidates = dedup_in_batch(candidates)
