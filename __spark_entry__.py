@@ -371,20 +371,22 @@ def _q_lsh_pairs(spark, sf_dir):
 
 
 def _q_dedup_clusters(spark, sf_dir):
-    """Connected-component dedup clustering over LSH candidate pairs —
-    the keep-one-per-cluster step after pair generation. Iterative
-    min-label propagation vs a DuckDB recursive CTE."""
+    """Connected-component dedup clustering over the LSH candidate
+    graph — the keep-one-per-cluster step after pair generation.
+    Iterative min-label propagation vs a DuckDB recursive CTE.
+    Uses lsh_star_edges (bucket→hub contraction): identical components
+    to the all-pairs list at O(Σk) instead of O(Σk²) edges."""
     from scrapy_rs_spark.operators.textdedup import (
         dedup_clusters,
-        lsh_candidate_pairs,
+        lsh_star_edges,
         minhash_signatures,
     )
 
     docs = _load(spark, sf_dir, "documents")["documents"]
     dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     both = docs.select("doc_id", "text").unionByName(dup)
-    pairs = lsh_candidate_pairs(minhash_signatures(both, bands=8))
-    return dedup_clusters(pairs)
+    edges = lsh_star_edges(minhash_signatures(both, bands=8))
+    return dedup_clusters(edges)
 
 
 def _q_simhash(spark, sf_dir):

@@ -107,6 +107,31 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_star_edges(
+    signatures: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Component-equivalent contraction of the LSH candidate graph:
+    within each (band, sig) bucket connect every member to the bucket
+    MINIMUM id (a star) instead of emitting all k(k-1)/2 pairs.
+
+    Two docs share a bucket iff both connect to that bucket's hub, so
+    connected components — and therefore dedup_clusters output — are
+    IDENTICAL to lsh_candidate_pairs', but the edge list is O(Σk)
+    instead of O(Σk²). At corpus scale this is the difference between
+    feasible and not: a boilerplate bucket with 10^4 members yields
+    10^4 star edges, not 5·10^7 pairs. One window-min per bucket
+    partition — no self-join, no distinct. Feed the result straight to
+    dedup_clusters; use lsh_candidate_pairs only when the explicit
+    pair list itself is the product (e.g. to score Jaccard per pair).
+    Output: (id_a, id_b) with id_b = bucket hub < id_a."""
+    w = Window.partitionBy("band", "sig")
+    return (
+        signatures.withColumn("hub", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("hub"))
+        .select(F.col(id_col).alias("id_a"), F.col("hub").alias("id_b"))
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 32,

@@ -256,13 +256,9 @@ class CrawlEngine:
             on_phase = F.pmod(F.lit(rnd), period) == F.pmod(
                 F.xxhash64(F.col("host")), period
             )
-            budget = (
-                F.when(eff_delay <= 0, F.lit(_UNLIMITED))
-                .when(
-                    eff_delay <= round_ms,
-                    F.greatest(F.lit(1), (round_ms / eff_delay).cast("int")),
-                )
-                .otherwise(F.when(on_phase, F.lit(1)).otherwise(F.lit(0)))
+            # eff_delay ≤ 0 falls into the ≤ round_ms branch → UNLIMITED
+            budget = F.when(eff_delay <= round_ms, short_budget).otherwise(
+                F.when(on_phase, F.lit(1)).otherwise(F.lit(0))
             )
         else:
             # no host's effective delay exceeds the round → the phase

@@ -133,3 +133,42 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
         labels = dedup_clusters(pairs, max_iters=2, on_nonconverged="warn")
         assert labels.count() == 60  # returned, but loudly flagged
     assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_lsh_star_edges_component_equivalent(spark):
+    """Bucket→hub star contraction must yield the SAME connected
+    components (and therefore the same dedup_clusters output) as the
+    all-pairs candidate list, with at most O(Σk) edges."""
+    from scrapy_rs_spark.operators.textdedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (10, "completely different text about spark shuffles here"),
+            (11, "completely different text about spark shuffles here"),
+            (20, "a singleton document with no duplicate partner at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    sigs = minhash_signatures(docs, bands=4).localCheckpoint(eager=True)
+    via_pairs = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(lsh_candidate_pairs(sigs)).collect()
+    }
+    stars = lsh_star_edges(sigs)
+    via_stars = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(stars).collect()
+    }
+    assert via_pairs == via_stars
+    # star edge count is bounded by the signature rows (Σk), while the
+    # pair list is quadratic per bucket
+    assert stars.count() <= sigs.count()
+    # every star edge points at its bucket hub (id_b < id_a)
+    assert stars.filter("id_b >= id_a").count() == 0
