@@ -167,6 +167,14 @@ class CrawlEngine:
         self._pause_requested = False
         self._stop_requested = False
         self._resume_event = threading.Event()
+        # incrementally-extended seen DataFrame: store.load_seen()
+        # re-lists EVERY delta directory (partition discovery included)
+        # on each call — measured ~1.5 s/round of pure driver time on a
+        # politeness crawl. The cache unions only NEW rounds' deltas
+        # onto the existing DataFrame (whose file indexes Spark already
+        # holds) and rebuilds after compaction prunes cached paths.
+        self._seen_df_cache: DataFrame | None = None
+        self._seen_cache_rounds: set[int] = set()
         self.bloom = None
         if self.settings.use_bloom_sidecar:
             from scrapy_rs_spark.sources.bloom import BloomSidecar
@@ -215,6 +223,33 @@ class CrawlEngine:
                     F.col("crawl_delay_ms") > F.lit(s.round_duration_ms)
                 ).isEmpty()
         return self._long_delays_flag
+
+    def _load_seen(self) -> DataFrame:
+        """The committed seen set, via the incremental cache (see
+        __init__). Semantically identical to store.load_seen(); costs
+        one directory listing for the newest delta instead of one per
+        committed delta per round."""
+        valid = {
+            r
+            for r in self.store.committed_rounds()
+            if os.path.isdir(
+                os.path.join(self.store._round_dir(r), "seen_delta")
+            )
+        }
+        if self._seen_df_cache is None or not (
+            self._seen_cache_rounds <= valid
+        ):
+            # first use, or compaction removed a cached delta dir —
+            # rebuild from scratch (one full listing, ≤16 deltas + base)
+            self._seen_df_cache = self.store.load_seen()
+            self._seen_cache_rounds = valid
+            return self._seen_df_cache
+        for r in sorted(valid - self._seen_cache_rounds):
+            delta = self.store.load_seen_delta(r)
+            if delta is not None:
+                self._seen_df_cache = self._seen_df_cache.unionByName(delta)
+            self._seen_cache_rounds.add(r)
+        return self._seen_df_cache
 
     def _cap_left_col(self):
         """Remaining lifetime per-domain budget (F6). Unlike the delay
@@ -377,10 +412,13 @@ class CrawlEngine:
                 from pyspark.sql.window import Window
 
                 w = Window.partitionBy("host").orderBy(*order)
+                # lazy checkpoint: materialized by the round's FIRST
+                # action (the counter agg reads batch → ranked_all), so
+                # rank+cache+count land in one Spark job, not two
                 ranked_all = (
                     allowed.withColumn("__budget", budget)
                     .withColumn("host_rank", F.row_number().over(w))
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
                 batch = (
                     ranked_all.filter(F.col("host_rank") <= F.col("__budget"))
@@ -409,7 +447,9 @@ class CrawlEngine:
             )
             if self.request_middlewares is not None:
                 batch = self.request_middlewares(batch)  # X2
-            batch = batch.localCheckpoint(eager=True)  # reused 5× below
+            # lazy: the counter agg below is the materializing action;
+            # every later consumer reads the cached partitions
+            batch = batch.localCheckpoint(eager=False)  # reused 5× below
         _mark("rank+batch")
 
         if leftover is None:
@@ -437,7 +477,9 @@ class CrawlEngine:
         )
         if self.response_middlewares is not None:
             fetched = self.response_middlewares(fetched)  # X3
-        fetched = fetched.localCheckpoint(eager=True)
+        # lazy: the counter agg right below materializes the fetch join
+        # and computes all five route counters in ONE job
+        fetched = fetched.localCheckpoint(eager=False)
         routes = split_fetched(fetched)
         # ONE aggregation for all route counters (5 counts = 1 job, not 5
         # — per-round driver actions are the fixed cost of a round)
@@ -507,7 +549,9 @@ class CrawlEngine:
                 parse_page_enc_udf(F.col("html"), F.col("encoding")).alias(
                     "p"
                 ),
-            ).localCheckpoint(eager=True)
+                # lazy: the items write materializes the parse; the link
+                # expansion then reads the cached result
+            ).localCheckpoint(eager=False)
             items = parsed.select(
                 F.col("url"),
                 F.lit("extracted_text").alias("item_type"),
@@ -562,33 +606,33 @@ class CrawlEngine:
         links = raw_links.withColumn(
             "url", urljoin_udf(F.col("base"), F.col("href"))
         ).filter(F.col("url").isNotNull())
-        candidates = (
-            links.select(
-                F.col("url"),
-                F.col("url").alias("url_canon"),
-                (F.col("parent_depth") + 1).cast("int").alias("depth"),
-                # Response::follow copies the cookie jar onto followed
-                # requests (response.rs:186-203)
-                F.col("parent_cookies").alias("cookies"),
-            )
-            # unresolvable hrefs already filtered (url IS NOT NULL above)
-            .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
-            .withColumn(
-                "url_hash", url_hash_expr(F.col("url_canon"), F.lit("GET"))
-            )
-            .withColumn("method", F.lit("GET"))
-            .withColumn("priority", F.lit(0))
-            .withColumn("discovery_round", F.lit(rnd + 1))
-            .withColumn("discovery_seq", F.lit(0).cast("long"))
-            .withColumn("retry_count", F.lit(0))
-            .withColumn("dont_filter", F.lit(False))
-            .withColumn("retry_not_before_round", F.lit(0))
-            .withColumn("meta", F.lit(None).cast("map<string,string>"))
-            .withColumn("body", F.lit(None).cast("binary"))
-            .withColumn("timeout_ms", F.lit(None).cast("bigint"))
-            .withColumn("encoding", F.lit(None).cast("string"))
-            .withColumn("flags", F.lit(None).cast("array<string>"))
-            .withColumn("proxy", F.lit(None).cast("string"))
+        # ONE Project node in FRONTIER_COLS order — a withColumn chain
+        # here adds ~16 nested Projects that Catalyst must analyze and
+        # collapse EVERY round; measured ~1.5 s/round of pure planning
+        # time on the politeness crawl (localCheckpoint plans the query
+        # even when lazy). unresolvable hrefs already filtered above;
+        # url is canonical post-urljoin; Response::follow copies the
+        # cookie jar onto followed requests (response.rs:186-203)
+        candidates = links.select(
+            F.col("url"),
+            F.col("url").alias("url_canon"),
+            url_hash_expr(F.col("url"), F.lit("GET")).alias("url_hash"),
+            F.expr("parse_url(url, 'HOST')").alias("host"),
+            F.lit("GET").alias("method"),
+            F.lit(0).alias("priority"),
+            (F.col("parent_depth") + 1).cast("int").alias("depth"),
+            F.lit(rnd + 1).alias("discovery_round"),
+            F.lit(0).cast("long").alias("discovery_seq"),
+            F.lit(0).alias("retry_count"),
+            F.lit(False).alias("dont_filter"),
+            F.lit(0).alias("retry_not_before_round"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+            F.lit(None).cast("binary").alias("body"),
+            F.col("parent_cookies").alias("cookies"),
+            F.lit(None).cast("bigint").alias("timeout_ms"),
+            F.lit(None).cast("string").alias("encoding"),
+            F.lit(None).cast("array<string>").alias("flags"),
+            F.lit(None).cast("string").alias("proxy"),
         )
 
         # redirects re-enter at the same depth AND priority
@@ -620,46 +664,40 @@ class CrawlEngine:
                 + 1
             ).alias("hops"),
         )
+        # single Project (see candidates note). hop count survives into
+        # the new row's meta or max_redirects could never bound a
+        # multi-hop chain; proxy NOT inherited across redirects (the
+        # reference never copies it onto the follow-up Request)
         redirs = None if redirs is None else (
             redirs.filter(
                 F.col("url").isNotNull()
                 & (F.col("hops") <= F.lit(s.max_redirects))
-            )
-            .select(
-                "url",
+            ).select(
+                F.col("url"),
                 F.col("url").alias("url_canon"),
-                "depth",
-                "priority",
-                "cookies",
-                "timeout_ms",
-                "encoding",
-                "flags",
-                "hops",
-            )
-            .withColumn("host", F.expr("parse_url(url_canon, 'HOST')"))
-            .withColumn(
-                "url_hash", url_hash_expr(F.col("url_canon"), F.lit("GET"))
-            )
-            .withColumn("method", F.lit("GET"))
-            .withColumn("discovery_round", F.lit(rnd + 1))
-            .withColumn("discovery_seq", F.lit(0).cast("long"))
-            .withColumn("retry_count", F.lit(0))
-            .withColumn("dont_filter", F.lit(False))
-            .withColumn("retry_not_before_round", F.lit(0))
-            # hop count must survive into the new row's meta or
-            # max_redirects can never bound a multi-hop chain
-            .withColumn(
-                "meta",
+                url_hash_expr(F.col("url"), F.lit("GET")).alias("url_hash"),
+                F.expr("parse_url(url, 'HOST')").alias("host"),
+                F.lit("GET").alias("method"),
+                F.col("priority"),
+                F.col("depth"),
+                F.lit(rnd + 1).alias("discovery_round"),
+                F.lit(0).cast("long").alias("discovery_seq"),
+                F.lit(0).alias("retry_count"),
+                F.lit(False).alias("dont_filter"),
+                F.lit(0).alias("retry_not_before_round"),
                 F.map_from_arrays(
                     F.array(F.lit("redirect_hops")),
                     F.array(F.col("hops").cast("string")),
-                ),
+                ).alias("meta"),
+                F.lit(None).cast("binary").alias("body"),
+                F.col("cookies"),
+                F.col("timeout_ms"),
+                F.col("encoding"),
+                F.col("flags"),
+                F.lit(None).cast("string").alias("proxy"),
             )
-            .withColumn("body", F.lit(None).cast("binary"))
-            # proxy NOT inherited across redirects (reference never
-            # copies it when constructing the follow-up Request)
-            .withColumn("proxy", F.lit(None).cast("string"))
         )
+        _mark("cand-built")
         candidates = candidates.select(*FRONTIER_COLS)
         if redirs is not None:
             candidates = candidates.unionByName(redirs.select(*FRONTIER_COLS))
@@ -667,14 +705,17 @@ class CrawlEngine:
         # ---- enqueue: filters → in-batch dedup → seen anti-join (F1-F4, J1) ----
         candidates = apply_enqueue_filters(candidates, s)
         candidates = dedup_in_batch(candidates)
-        seen = self.store.load_seen()
+        _mark("enq-built")
+        seen = self._load_seen()
+        _mark("seen-load")
         candidates = anti_join_seen(
             candidates, seen, bloom=self.bloom
         ).select(*FRONTIER_COLS)
         # one materialization — candidates feed the count, the seen delta,
         # and the frontier commit; without this the parse-UDF chain would
-        # recompute 3-4× per round
-        candidates = candidates.localCheckpoint(eager=True)
+        # recompute 3-4× per round. Lazy: the new-URL count below is the
+        # materializing action (count+cache = one job)
+        candidates = candidates.localCheckpoint(eager=False)
         _mark("parse+enqueue")
 
         # ---- retries (J5/X5): skipped entirely on clean rounds ----
@@ -711,7 +752,9 @@ class CrawlEngine:
         # until MANIFEST) so the observations attached to the items plan
         # resolve — item/decode-error counts cost no extra jobs
         self.store.begin_round(rnd)
+        _mark("pre-items")
         self.store.write_items(rnd, items)
+        _mark("items-write")
         raw = obs_raw.get
         n_parsed = int(raw["n"] or 0)
         n_null_text = int(raw["n_null"] or 0)
@@ -926,6 +969,10 @@ class CrawlEngine:
             if committed % self.settings.seen_compact_every == 0:
                 # keep the seen-set one read wide (deltas pile up 1/round)
                 self.store.compact_seen()
+                # compaction deleted the cached delta dirs — drop the
+                # cache so the next round rebuilds from the folded base
+                self._seen_df_cache = None
+                self._seen_cache_rounds = set()
             rnd = committed
             if m["requests"] == 0 and m["new_urls"] == 0:
                 # only retry-gated or delay-phase-gated rows remain;

@@ -160,6 +160,19 @@ class CrawlStore:
             out = df if out is None else out.unionByName(df)
         return out
 
+    def load_seen_delta(self, rnd: int) -> DataFrame | None:
+        """One committed round's seen delta (None if compacted away) —
+        lets callers maintain an incrementally-extended seen DataFrame
+        instead of re-listing every delta directory each round."""
+        p = os.path.join(self._round_dir(rnd), "seen_delta")
+        if not os.path.isdir(p):
+            return None
+        return (
+            self.spark.read.schema("url_hash BIGINT, bucket INT")
+            .parquet(p)
+            .select("url_hash", "bucket")
+        )
+
     def compact_seen(self) -> None:
         """Fold all committed seen deltas into the latest round's delta
         (Iceberg analogue: rewrite_data_files / snapshot expiry).
