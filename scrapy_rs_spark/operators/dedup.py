@@ -39,12 +39,29 @@ def winner_order() -> list[Column]:
 
 
 def dedup_in_batch(candidates: DataFrame, key: str = "url_hash") -> DataFrame:
-    """Keep one deterministic winner per identity within a batch."""
-    w = Window.partitionBy(key).orderBy(*winner_order())
+    """Keep one deterministic winner per identity within a batch.
+
+    min_by over a lexicographic order-key struct, not a window rank:
+    a hash aggregate combines map-side, so a link explosion with heavy
+    duplication (10 links/page crawls re-discover most URLs every
+    round) shrinks ~10× BEFORE the shuffle, and no per-group sort runs.
+    The order key mirrors winner_order(): priority DESC (negated),
+    depth/discovery_round/discovery_seq/url ASC — same winner as the
+    rank formulation (rows tying on the full key are duplicates in all
+    order-relevant fields, either formulation picks one)."""
+    cols = candidates.columns
+    ordk = F.struct(
+        (-F.col("priority")).alias("o1"),
+        F.col("depth").alias("o2"),
+        F.col("discovery_round").alias("o3"),
+        F.col("discovery_seq").alias("o4"),
+        F.col("url").alias("o5"),
+    )
+    row = F.struct(*[F.col(c) for c in cols])
     return (
-        candidates.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        candidates.groupBy(key)
+        .agg(F.min_by(row, ordk).alias("__w"))
+        .select(*[F.col(f"__w.{c}").alias(c) for c in cols])
     )
 
 
