@@ -52,15 +52,35 @@ class CrawlMonitor:
         self._events: deque = deque(maxlen=max_events)
         self._event_seq = 0
         self._event_lock = threading.Lock()
+        self._attached: list = []  # SignalManagers this monitor records
 
     # ---- event history (lib.rs:99-105 event buffer + broadcast) ----
     def attach_signals(self, signals) -> None:
         """Subscribe to every signal on a SignalManager; each delivery
-        appends (seq, ts, signal, payload) to the ring buffer."""
+        appends (seq, ts, signal, payload) to the ring buffer.
+        Idempotent per manager — re-attaching (e.g. once per resume on
+        a long-lived monitor) never double-records events."""
         from scrapy_rs_spark.plans.signals import ALL_SIGNALS
 
+        if any(m is signals for m in self._attached):
+            return
         for sig in ALL_SIGNALS:
             signals.connect(sig, self._record_event)
+        self._attached.append(signals)
+
+    def detach_signals(self, signals) -> None:
+        """Disconnect this monitor's recorder from a SignalManager
+        previously passed to attach_signals (no-op otherwise)."""
+        from scrapy_rs_spark.plans.signals import ALL_SIGNALS
+
+        if not any(m is signals for m in self._attached):
+            return
+        for sig in ALL_SIGNALS:
+            try:
+                signals.disconnect(sig, self._record_event)
+            except ValueError:
+                pass
+        self._attached = [m for m in self._attached if m is not signals]
 
     def _record_event(self, signal: str, payload: dict) -> None:
         import time

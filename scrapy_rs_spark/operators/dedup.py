@@ -24,11 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def winner_order() -> list[Column]:
-    """The deterministic in-batch winner / scheduler tie-break order."""
+    """The deterministic in-batch winner / scheduler tie-break order.
+
+    KEEP IN LOCKSTEP with winner_order_struct() below — the sort-column
+    form drives scheduler ordering, the struct form drives the min_by
+    dedup aggregate; a tie-break change must land in both."""
     return [
         F.col("priority").desc(),
         F.col("depth").asc(),
@@ -38,6 +41,24 @@ def winner_order() -> list[Column]:
     ]
 
 
+def winner_order_struct() -> Column:
+    """winner_order() as a single lexicographic min-key struct (for
+    min_by). priority DESC is encoded as -cast(long) — the long cast
+    dodges ANSI ARITHMETIC_OVERFLOW on INT_MIN, and the coalesce to
+    long-min makes a NULL priority sort LAST (lose), matching desc()'s
+    NULLS LAST, not first as a bare NULL struct field would."""
+    neg_priority = -F.coalesce(
+        F.col("priority").cast("long"), F.lit(-(1 << 31)).cast("long")
+    )
+    return F.struct(
+        neg_priority.alias("o1"),
+        F.col("depth").alias("o2"),
+        F.col("discovery_round").alias("o3"),
+        F.col("discovery_seq").alias("o4"),
+        F.col("url").alias("o5"),
+    )
+
+
 def dedup_in_batch(candidates: DataFrame, key: str = "url_hash") -> DataFrame:
     """Keep one deterministic winner per identity within a batch.
 
@@ -45,18 +66,11 @@ def dedup_in_batch(candidates: DataFrame, key: str = "url_hash") -> DataFrame:
     a hash aggregate combines map-side, so a link explosion with heavy
     duplication (10 links/page crawls re-discover most URLs every
     round) shrinks ~10× BEFORE the shuffle, and no per-group sort runs.
-    The order key mirrors winner_order(): priority DESC (negated),
-    depth/discovery_round/discovery_seq/url ASC — same winner as the
-    rank formulation (rows tying on the full key are duplicates in all
-    order-relevant fields, either formulation picks one)."""
+    The order key is winner_order_struct() — the same total order as
+    the rank formulation (rows tying on the full key are duplicates in
+    all order-relevant fields, either formulation picks one)."""
     cols = candidates.columns
-    ordk = F.struct(
-        (-F.col("priority")).alias("o1"),
-        F.col("depth").alias("o2"),
-        F.col("discovery_round").alias("o3"),
-        F.col("discovery_seq").alias("o4"),
-        F.col("url").alias("o5"),
-    )
+    ordk = winner_order_struct()
     row = F.struct(*[F.col(c) for c in cols])
     return (
         candidates.groupBy(key)

@@ -85,8 +85,15 @@ def fetch_join(
     # response columns own the plain names; request-side columns that
     # collide (e.g. headers set by request middleware) become req_*
     # — the reference Response likewise embeds the originating request
-    # (response.rs:11-46)
-    for c in ("status", "html", "headers"):
+    # (response.rs:11-46). Transport columns get the same treatment so
+    # a batch that already carries e.g. 'protocol' never produces an
+    # ambiguous reference downstream.
+    response_owned = ["status", "html", "headers"] + [
+        c
+        for c in ("certificate", "ip_address", "protocol")
+        if c in pages.columns
+    ]
+    for c in response_owned:
         if c in batch.columns:
             batch = batch.withColumnRenamed(c, f"req_{c}")
     cond = batch["url_canon"] == p["__p_url"]

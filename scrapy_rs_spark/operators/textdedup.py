@@ -169,7 +169,7 @@ def simhash(
 
 def dedup_clusters(
     pairs: DataFrame,
-    max_iters: int = 20,
+    max_iters: int = 25,
     id_a: str = "id_a",
     id_b: str = "id_b",
     on_nonconverged: str = "raise",
@@ -201,7 +201,11 @@ def dedup_clusters(
     component), so the fixpoint is the component minimum. If max_iters
     exhausts before the fixpoint the labels are NOT cluster ids —
     on_nonconverged='raise' (default) raises RuntimeError;
-    'warn' prints loudly and returns the unconverged labels."""
+    'warn' prints loudly and returns the unconverged labels.
+    (The fused round jumps via PRE-round labels, slightly weaker per
+    iteration than a step-then-jump formulation — the default
+    max_iters carries headroom for that, still covering components of
+    diameter far beyond anything a near-dup graph produces.)"""
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )

@@ -229,13 +229,7 @@ class CrawlEngine:
         __init__). Semantically identical to store.load_seen(); costs
         one directory listing for the newest delta instead of one per
         committed delta per round."""
-        valid = {
-            r
-            for r in self.store.committed_rounds()
-            if os.path.isdir(
-                os.path.join(self.store._round_dir(r), "seen_delta")
-            )
-        }
+        valid = self.store.seen_delta_rounds()
         if self._seen_df_cache is None or not (
             self._seen_cache_rounds <= valid
         ):
@@ -873,7 +867,13 @@ class CrawlEngine:
         """Request a pause: the crawl loop blocks at the NEXT round
         boundary (after the in-flight round commits) and emits
         engine_paused; unpause() releases it. Thread-safe — call from
-        another thread or from a signal handler."""
+        another thread or from a signal handler.
+
+        A pause issued while no crawl loop is running is discarded when
+        the next run()/resume() starts (a stale flag would otherwise
+        wedge it forever, ADVICE r3); to pause a crawl right after
+        launching it from another thread, wait for the engine_started
+        signal before calling pause()."""
         self._pause_requested = True
 
     def unpause(self) -> None:

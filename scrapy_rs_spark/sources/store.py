@@ -160,6 +160,16 @@ class CrawlStore:
             out = df if out is None else out.unionByName(df)
         return out
 
+    def seen_delta_rounds(self) -> set[int]:
+        """Committed rounds whose seen_delta directory still exists
+        (compaction prunes earlier ones). The store owns the layout —
+        callers maintaining incremental seen caches key off this."""
+        return {
+            r
+            for r in self.committed_rounds()
+            if os.path.isdir(os.path.join(self._round_dir(r), "seen_delta"))
+        }
+
     def load_seen_delta(self, rnd: int) -> DataFrame | None:
         """One committed round's seen delta (None if compacted away) —
         lets callers maintain an incrementally-extended seen DataFrame

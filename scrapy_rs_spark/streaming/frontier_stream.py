@@ -143,7 +143,10 @@ class StreamingCrawl:
         if batch.isEmpty():
             return
         bid = int(batch_id)
-        fetched = fetch_join(batch, self.pages).localCheckpoint(eager=True)
+        fetched = fetch_join(
+            batch, self.pages,
+            default_timeout_ms=s.request_timeout_ms,
+        ).localCheckpoint(eager=True)
         success = fetched.filter(is_success(F.col("status"))).repartition(
             self.spark.sparkContext.defaultParallelism
         )

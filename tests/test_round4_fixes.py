@@ -384,3 +384,95 @@ def test_global_long_delay_gates_and_fast_forwards(spark, tmp_path):
             "two consecutive empty rounds committed — fast-forward"
             " not applied for global long delays"
         )
+
+
+# ---- incremental seen cache (r4 perf) ----
+
+def test_seen_cache_self_heals_after_external_compaction(spark, tmp_path):
+    """The engine's cached seen DataFrame references per-round delta
+    dirs; compaction (even one the engine didn't trigger) deletes
+    them. The validity check must rebuild from the folded base, and
+    membership must stay exact — a crawl paused, compacted, and
+    resumed re-fetches nothing."""
+    pages = spark.createDataFrame(
+        [
+            (f"http://sc.test/{i}", 200,
+             f'<a href="/{i + 1}">n</a>' if i < 5 else "<html>end</html>")
+            for i in range(6)
+        ],
+        "url STRING, status INT, html STRING",
+    ).withColumn("headers", F.lit(None).cast("map<string,string>"))
+    eng = CrawlEngine(
+        spark,
+        pages,
+        Settings(respect_robots_txt=False, page_limit=3),
+        store_path=str(tmp_path / "seencache"),
+    )
+    eng.run(["http://sc.test/0"])  # fetches 0,1,2 then hits the limit
+    # engine's cache now spans the committed deltas; compact externally
+    eng.store.compact_seen()
+    eng.settings.page_limit = None
+    stats = eng.resume()
+    # resume continues 3,4,5 — nothing re-fetched despite the cache
+    # having pointed at now-deleted delta dirs
+    assert stats.requests == 6
+    items = {r.url for r in eng.items().collect()}
+    assert items == {f"http://sc.test/{i}" for i in range(6)}
+
+
+# ---- code-review fixes (r4) ----
+
+def test_dedup_winner_intmin_and_null_priority(spark):
+    """min_by order key must survive priority=INT_MIN under ANSI (no
+    ARITHMETIC_OVERFLOW) and rank NULL priority LAST (desc NULLS LAST),
+    matching the old window formulation."""
+    from scrapy_rs_spark.operators.dedup import dedup_in_batch
+
+    rows = [
+        # url_hash 1: INT_MIN priority vs normal — normal wins (desc)
+        ("http://x/a", 1, -2147483648, 0, 0, 0),
+        ("http://x/b", 1, 5, 0, 0, 0),
+        # url_hash 2: NULL priority loses to any real priority
+        ("http://y/a", 2, None, 0, 0, 0),
+        ("http://y/b", 2, -7, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url STRING, url_hash BIGINT, priority INT, depth INT,"
+        " discovery_round INT, discovery_seq BIGINT",
+    )
+    out = {r.url_hash: r.url for r in dedup_in_batch(df).collect()}
+    assert out == {1: "http://x/b", 2: "http://y/b"}
+
+
+def test_monitor_attach_idempotent_and_detach(spark, tmp_path):
+    from scrapy_rs_spark.monitoring import CrawlMonitor
+    from scrapy_rs_spark.plans.signals import ENGINE_STARTED, SignalManager
+    from scrapy_rs_spark.sources.store import CrawlStore
+
+    store = CrawlStore(spark, str(tmp_path / "mon"))
+    sig = SignalManager()
+    monitor = CrawlMonitor(store, max_events=16)
+    monitor.attach_signals(sig)
+    monitor.attach_signals(sig)  # idempotent — no double recording
+    sig.send(ENGINE_STARTED, {"n": 1})
+    assert len(monitor.events()) == 1
+    monitor.detach_signals(sig)
+    sig.send(ENGINE_STARTED, {"n": 2})
+    assert len(monitor.events()) == 1  # detached → not recorded
+
+
+def test_transport_collision_renamed_req(spark):
+    """A batch already carrying a transport-named column gets req_*
+    treatment like status/html/headers — no ambiguous reference."""
+    pages = spark.createDataFrame(
+        [("http://c.test/a", 200, "<html>a</html>", "h2")],
+        "url STRING, status INT, html STRING, protocol STRING",
+    ).withColumn("headers", F.lit(None).cast("map<string,string>"))
+    batch = seeds_frontier(spark, ["http://c.test/a"]).withColumn(
+        "protocol", F.lit("req-side")
+    )
+    fetched = fetch_join(batch, pages)
+    row = fetched.collect()[0]
+    assert row.protocol == "h2"  # response owns the plain name
+    assert row.req_protocol == "req-side"
