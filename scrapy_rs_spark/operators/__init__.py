@@ -10,8 +10,22 @@ from scrapy_rs_spark.operators.dedup import (
     dedup_in_batch,
     anti_join_seen,
 )
+from scrapy_rs_spark.operators.textdedup import (
+    dedup_clusters,
+    exact_dedup,
+    lsh_candidate_pairs,
+    lsh_star_edges,
+    minhash_signatures,
+    simhash,
+)
 
 __all__ = [
+    "dedup_clusters",
+    "exact_dedup",
+    "lsh_candidate_pairs",
+    "lsh_star_edges",
+    "minhash_signatures",
+    "simhash",
     "FrontierScheduler",
     "apply_enqueue_filters",
     "effective_priority_col",
