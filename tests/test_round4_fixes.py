@@ -476,3 +476,45 @@ def test_transport_collision_renamed_req(spark):
     row = fetched.collect()[0]
     assert row.protocol == "h2"  # response owns the plain name
     assert row.req_protocol == "req-side"
+
+
+def test_dedup_minby_equals_window_formulation(spark):
+    """Property: the min_by aggregate picks exactly the winner the old
+    window-rank formulation picked, on a seeded random frame whose
+    order keys are unique per group (the only regime where either
+    formulation is deterministic)."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from scrapy_rs_spark.operators.dedup import dedup_in_batch, winner_order
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                f"http://h{rng.randrange(5)}.test/p{i}",  # unique url
+                rng.randrange(60),  # url_hash: ~7 rows per group
+                rng.randrange(-5, 6),  # priority
+                rng.randrange(4),  # depth
+                rng.randrange(3),  # discovery_round
+                rng.randrange(1000),  # discovery_seq
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "url STRING, url_hash BIGINT, priority INT, depth INT,"
+        " discovery_round INT, discovery_seq BIGINT",
+    )
+    w = Window.partitionBy("url_hash").orderBy(*winner_order())
+    via_window = {
+        (r.url_hash, r.url)
+        for r in df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    via_minby = {
+        (r.url_hash, r.url) for r in dedup_in_batch(df).collect()
+    }
+    assert via_minby == via_window
