@@ -120,9 +120,16 @@ def lsh_star_edges(
     instead of O(Σk²). At corpus scale this is the difference between
     feasible and not: a boilerplate bucket with 10^4 members yields
     10^4 star edges, not 5·10^7 pairs. One window-min per bucket
-    partition — no self-join, no distinct. Feed the result straight to
-    dedup_clusters; use lsh_candidate_pairs only when the explicit
-    pair list itself is the product (e.g. to score Jaccard per pair).
+    partition — no self-join, no distinct, single shuffle. Bucket skew
+    is bounded by construction (sig is a 128-bit minhash, so a hot
+    bucket is a true near-dup cluster, same argument as
+    lsh_candidate_pairs); for an adversarial corpus where one bucket
+    could hold ~10^7 rows, swap the window for groupBy(band,sig).min +
+    join-back — one extra shuffle, but AQE's skew-join can then split
+    the hot bucket, which it cannot do for a window partition. Feed
+    the result straight to dedup_clusters; use lsh_candidate_pairs
+    only when the explicit pair list itself is the product (e.g. to
+    score Jaccard per pair).
     Output: (id_a, id_b) with id_b = bucket hub < id_a."""
     w = Window.partitionBy("band", "sig")
     return (
