@@ -50,9 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--seeds-file", help="file with one seed URL per line")
     c.add_argument(
         "--settings",
-        help="settings file: .json/.toml/.py/.yaml (reference key names ok;"
-        " START_URLS/ALLOWED_DOMAINS build the spider like the reference"
-        " binary)",
+        help="settings file: .json/.toml/.py/.yaml, OR a dotted module"
+        " path (e.g. mypkg.settings — the PySettings.from_module"
+        " analogue; UPPER_CASE attributes become keys). Reference key"
+        " names ok; START_URLS/ALLOWED_DOMAINS build the spider like"
+        " the reference binary",
     )
     c.add_argument("--store", help="crawl store directory (resume-able)")
     c.add_argument(
@@ -66,7 +68,21 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--json", action="store_true", help="print stats as JSON")
     args = ap.parse_args(argv)
 
-    raw = Settings.raw_from_file(args.settings) if args.settings else {}
+    raw = {}
+    if args.settings:
+        # a path-less name with no recognised extension is a dotted
+        # module path (mypkg.settings) — the from_module loader; files
+        # keep the extension-dispatched parser
+        import os
+
+        is_file = os.path.exists(args.settings) or args.settings.lower().endswith(
+            (".json", ".toml", ".py", ".yaml", ".yml")
+        )
+        raw = (
+            Settings.raw_from_file(args.settings)
+            if is_file
+            else Settings.raw_from_module(args.settings)
+        )
     settings = Settings.from_dict(raw)
     seeds = list(args.seeds)
     if args.seeds_file:

@@ -58,6 +58,11 @@ class Spider:
     text_udf: object | None = None
     links_udf: object | None = None
     fields_udf: object | None = None
+    # close-lifecycle hook (reference Spider::closed,
+    # core/src/spider.rs + engine close sequence
+    # engine/src/lib.rs:1285-1420): runs once at crawl exit on the
+    # driver, bounded by Settings.close_timeout_ms
+    closed: Callable[[], None] | None = None
 
     def _text_udf(self):
         if self.text_udf is not None:
@@ -135,6 +140,7 @@ def run_crawl(
         parse_text_udf=spider._text_udf(),
         parse_links_udf=spider._links_udf(),
         parse_fields_udf=spider._fields_udf(),
+        spider_close_hook=spider.closed,
         **engine_kwargs,
     )
     stats = engine.run(spider.start_urls, max_rounds=max_rounds)

@@ -44,11 +44,17 @@ def winner_order() -> list[Column]:
 def winner_order_struct() -> Column:
     """winner_order() as a single lexicographic min-key struct (for
     min_by). priority DESC is encoded as -cast(long) — the long cast
-    dodges ANSI ARITHMETIC_OVERFLOW on INT_MIN, and the coalesce to
-    long-min makes a NULL priority sort LAST (lose), matching desc()'s
-    NULLS LAST, not first as a bare NULL struct field would."""
+    dodges ANSI ARITHMETIC_OVERFLOW on INT_MIN, and the coalesce
+    sentinel makes a NULL priority sort LAST (lose), matching desc()'s
+    NULLS LAST, not first as a bare NULL struct field would. The
+    sentinel sits OUTSIDE the negated int32 range (-(1<<32), so its
+    negation 1<<32 exceeds any genuine priority's 1<<31 max): a NULL
+    strictly loses even to a genuine INT_MIN priority, exactly as in
+    winner_order()'s desc() NULLS LAST. (FRONTIER_SCHEMA declares
+    priority non-nullable, so this is lockstep insurance, not a live
+    path.)"""
     neg_priority = -F.coalesce(
-        F.col("priority").cast("long"), F.lit(-(1 << 31)).cast("long")
+        F.col("priority").cast("long"), F.lit(-(1 << 32)).cast("long")
     )
     return F.struct(
         neg_priority.alias("o1"),

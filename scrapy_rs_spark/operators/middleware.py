@@ -42,6 +42,10 @@ class Middleware:
     name: str
     transform: Transform
     priority: int = NORMAL
+    # optional close-lifecycle hook (reference: middleware/pipeline
+    # close, pipeline/src/lib.rs:14-32) — called once at crawl exit,
+    # bounded by Settings.close_timeout_ms (engine/src/lib.rs:1285-1420)
+    close: Callable[[], None] | None = None
 
 
 @dataclass
@@ -50,8 +54,14 @@ class MiddlewareChain:
 
     middlewares: list[Middleware] = field(default_factory=list)
 
-    def add(self, name: str, transform: Transform, priority: int = NORMAL):
-        self.middlewares.append(Middleware(name, transform, priority))
+    def add(
+        self,
+        name: str,
+        transform: Transform,
+        priority: int = NORMAL,
+        close: Callable[[], None] | None = None,
+    ):
+        self.middlewares.append(Middleware(name, transform, priority, close))
         return self
 
     def __call__(self, df: DataFrame) -> DataFrame:
@@ -62,6 +72,17 @@ class MiddlewareChain:
         for _, mw in ordered:
             df = mw.transform(df)
         return df
+
+    def close_hooks(self) -> list[tuple[str, Callable[[], None]]]:
+        """(name, hook) pairs in chain order (priority DESC) — the
+        engine runs each under the close timeout at crawl exit."""
+        ordered = sorted(
+            enumerate(self.middlewares),
+            key=lambda t: (-t[1].priority, t[0]),
+        )
+        return [
+            (mw.name, mw.close) for _, mw in ordered if mw.close is not None
+        ]
 
 
 # ---- built-in request middlewares ----

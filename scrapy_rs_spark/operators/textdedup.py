@@ -108,7 +108,7 @@ def lsh_candidate_pairs(
 
 
 def lsh_star_edges(
-    signatures: DataFrame, id_col: str = "doc_id"
+    signatures: DataFrame, id_col: str = "doc_id", skew_safe: bool = False
 ) -> DataFrame:
     """Component-equivalent contraction of the LSH candidate graph:
     within each (band, sig) bucket connect every member to the bucket
@@ -119,18 +119,45 @@ def lsh_star_edges(
     IDENTICAL to lsh_candidate_pairs', but the edge list is O(Σk)
     instead of O(Σk²). At corpus scale this is the difference between
     feasible and not: a boilerplate bucket with 10^4 members yields
-    10^4 star edges, not 5·10^7 pairs. One window-min per bucket
-    partition — no self-join, no distinct, single shuffle. Bucket skew
-    is bounded by construction (sig is a 128-bit minhash, so a hot
-    bucket is a true near-dup cluster, same argument as
-    lsh_candidate_pairs); for an adversarial corpus where one bucket
-    could hold ~10^7 rows, swap the window for groupBy(band,sig).min +
-    join-back — one extra shuffle, but AQE's skew-join can then split
-    the hot bucket, which it cannot do for a window partition. Feed
-    the result straight to dedup_clusters; use lsh_candidate_pairs
-    only when the explicit pair list itself is the product (e.g. to
-    score Jaccard per pair).
+    10^4 star edges, not 5·10^7 pairs.
+
+    Two component-identical physical forms (pinned equivalent in
+    test_dedup), chosen by ``skew_safe``:
+
+    * skew_safe=False (default): one window-min per (band, sig)
+      partition — no self-join, no distinct, SINGLE shuffle. Bucket
+      skew is bounded by construction (sig is a 128-bit minhash, so a
+      hot bucket is a true near-dup cluster, same argument as
+      lsh_candidate_pairs). The right default: fewest shuffles.
+    * skew_safe=True: groupBy(band, sig).min → broadcast-or-shuffle
+      join-back. One extra shuffle, but the hub computation is a
+      partial-aggregating hash agg (map-side combine shrinks a 10^7-row
+      bucket to one row per map task BEFORE the exchange) and the
+      join-back is a plain equi-join that AQE's skew-join CAN split —
+      a window partition it cannot. Use for adversarial corpora where
+      a single bucket may exceed one executor's partition budget
+      (~10^7+ members: a boilerplate page replicated corpus-wide).
+
+    Crossover guidance: default to the window form; switch to
+    skew_safe when max bucket size × row width approaches the
+    per-partition memory budget (AQE skew stats or a one-off
+    groupBy(band,sig).count() percentile tells you). Feed the result
+    straight to dedup_clusters; use lsh_candidate_pairs only when the
+    explicit pair list itself is the product (e.g. to score Jaccard
+    per pair).
     Output: (id_a, id_b) with id_b = bucket hub < id_a."""
+    if skew_safe:
+        hubs = (
+            signatures.groupBy("band", "sig")
+            .agg(F.min(id_col).alias("__hub"))
+        )
+        return (
+            signatures.join(hubs, ["band", "sig"])
+            .filter(F.col(id_col) != F.col("__hub"))
+            .select(
+                F.col(id_col).alias("id_a"), F.col("__hub").alias("id_b")
+            )
+        )
     w = Window.partitionBy("band", "sig")
     return (
         signatures.withColumn("hub", F.min(id_col).over(w))
@@ -258,7 +285,11 @@ def dedup_clusters(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        # cur_sum is None iff labels is EMPTY (SUM over zero rows) — an
+        # empty pair set (no near-dups / all-singleton LSH buckets) is
+        # trivially converged; without this the None != None-able guard
+        # below never fires and the loop burns max_iters then raises
+        if cur_sum is None or cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum

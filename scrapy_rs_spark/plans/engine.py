@@ -120,6 +120,7 @@ class CrawlEngine:
         response_middlewares=None,
         item_pipelines=None,
         signals=None,
+        spider_close_hook=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -152,10 +153,16 @@ class CrawlEngine:
         self.response_middlewares = response_middlewares
         self.item_pipelines = item_pipelines
         self.signals = signals  # plans.signals.SignalManager (X6)
+        # close lifecycle (engine/src/lib.rs:1285-1420): spider close +
+        # chain close hooks run at crawl exit, EACH bounded by
+        # settings.close_timeout_ms so a hanging hook cannot hang exit
+        self.spider_close_hook = spider_close_hook
+        self.close_errors: list[dict] = []
         self.store = CrawlStore(
             spark,
             store_path or tempfile.mkdtemp(prefix="crawlstore_"),
             seen_buckets=self.settings.seen_buckets,
+            bucketed_seen=self.settings.bucketed_seen,
         )
         # cooperative pause/stop gates, checked at round boundaries —
         # the set-model restatement of the reference's Notify gates
@@ -175,6 +182,7 @@ class CrawlEngine:
         # holds) and rebuilds after compaction prunes cached paths.
         self._seen_df_cache: DataFrame | None = None
         self._seen_cache_rounds: set[int] = set()
+        self._seen_cache_gen: int = -1
         self.bloom = None
         if self.settings.use_bloom_sidecar:
             from scrapy_rs_spark.sources.bloom import BloomSidecar
@@ -229,14 +237,28 @@ class CrawlEngine:
         __init__). Semantically identical to store.load_seen(); costs
         one directory listing for the newest delta instead of one per
         committed delta per round."""
+        if self.store.bucketed_seen:
+            # the bucketed table is ONE catalog-backed scan — no
+            # per-round delta dirs to union, so the incremental cache
+            # has nothing to save; the scan's bucketed partitioning is
+            # what makes the anti-join exchange-free on this side
+            return self.store.load_seen()
         valid = self.store.seen_delta_rounds()
-        if self._seen_df_cache is None or not (
-            self._seen_cache_rounds <= valid
+        gen = self.store.seen_generation()
+        if (
+            self._seen_df_cache is None
+            or not (self._seen_cache_rounds <= valid)
+            or gen != self._seen_cache_gen
         ):
-            # first use, or compaction removed a cached delta dir —
-            # rebuild from scratch (one full listing, ≤16 deltas + base)
+            # first use, compaction removed a cached delta dir, or the
+            # generation moved (compact_seen rewrites the NEWEST delta
+            # dir IN PLACE — invisible to the round-set key; an external
+            # store.compact_seen() between runs would otherwise leave the
+            # cache pointing at deleted parquet) — rebuild from scratch
+            # (one full listing, ≤16 deltas + base)
             self._seen_df_cache = self.store.load_seen()
             self._seen_cache_rounds = valid
+            self._seen_cache_gen = gen
             return self._seen_df_cache
         for r in sorted(valid - self._seen_cache_rounds):
             delta = self.store.load_seen_delta(r)
@@ -893,6 +915,62 @@ class CrawlEngine:
         if self.signals is not None:
             self.signals.send(signal, payload)
 
+    def _run_close_hooks(self) -> list[dict]:
+        """Run spider → response-middleware → request-middleware →
+        pipeline close hooks at crawl exit, EACH bounded by
+        settings.close_timeout_ms (the reference wraps every close in a
+        5 s timeout, engine/src/lib.rs:1285-1420). A hook that exceeds
+        the bound is abandoned on a daemon thread and recorded as an
+        error — crawl exit and the final spider_closed/engine_stopped
+        signals are never blocked by user code. Returns the recorded
+        errors (also kept on self.close_errors)."""
+        import threading
+        import warnings
+
+        hooks: list[tuple[str, object]] = []
+        if self.spider_close_hook is not None:
+            hooks.append(("spider", self.spider_close_hook))
+        for chain in (
+            self.response_middlewares,
+            self.request_middlewares,
+            self.item_pipelines,
+        ):
+            get = getattr(chain, "close_hooks", None)
+            if callable(get):
+                hooks.extend(get())
+        errors: list[dict] = []
+        timeout_s = self.settings.close_timeout_ms / 1000.0
+        for name, fn in hooks:
+            raised: list[str] = []
+
+            def _target(fn=fn, raised=raised):
+                try:
+                    fn()
+                except Exception as e:  # recorded, never propagated
+                    raised.append(f"{type(e).__name__}: {e}")
+
+            t = threading.Thread(
+                target=_target, daemon=True, name=f"close:{name}"
+            )
+            t.start()
+            t.join(timeout_s)
+            if t.is_alive():
+                msg = (
+                    f"close hook '{name}' still running after"
+                    f" {self.settings.close_timeout_ms} ms — abandoned"
+                )
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+                errors.append({"hook": name, "error": msg})
+            elif raised:
+                warnings.warn(
+                    f"close hook '{name}' raised: {raised[0]}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                errors.append({"hook": name, "error": raised[0]})
+        self.close_errors = errors
+        return errors
+
     def resume(self, max_rounds: int = 1_000) -> CrawlStats:
         """Continue from the latest committed round (pause/resume T5)."""
         from scrapy_rs_spark.plans.signals import (
@@ -1025,6 +1103,12 @@ class CrawlEngine:
                  "errors": stats.errors, "rounds": stats.rounds,
                  "stopped_by_request": self._stop_requested}
         self._emit(ENGINE_STOPPING, final)
+        # close hooks run between stopping and closed, like the
+        # reference; each is timeout-bounded so the final signals below
+        # fire even when a hook hangs
+        close_errors = self._run_close_hooks()
+        if close_errors:
+            final["close_errors"] = close_errors
         self._emit(SPIDER_CLOSED, final)
         self._emit(ENGINE_STOPPED, final)
         self._stop_requested = False  # the store stays resumable

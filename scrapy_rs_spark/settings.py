@@ -43,6 +43,14 @@ class Settings:
     url_deny_pattern: str | None = None
     # spark-side knobs (no reference analogue; scale levers)
     seen_buckets: int = 32  # hash buckets of the seen-set table (1000s at 10^10)
+    # store the seen set as a Spark bucketed TABLE (bucketBy url_hash +
+    # sortBy, saveAsTable) instead of per-round parquet delta dirs: the
+    # anti-join's seen side then needs NO Exchange — the sandbox
+    # demonstration of the Iceberg storage-partitioned join the 10^10
+    # design relies on (the seen set is never re-shuffled). Off by
+    # default: the delta layout keeps commits O(new urls) without a
+    # catalog; see sources/store.py.
+    bucketed_seen: bool = False
     host_salts: int = 4  # default salt fan-out for hot hosts
     round_duration_ms: int = 10_000  # politeness budget discretization window
     seen_compact_every: int = 16  # fold seen deltas every N rounds
@@ -57,6 +65,10 @@ class Settings:
     # executor, same as the store itself
     use_bloom_sidecar: bool = False
     bloom_bits_per_bucket: int = 1 << 20
+    # close-lifecycle bound (engine/src/lib.rs:1285-1420: the reference
+    # wraps each spider/pipeline/middleware close hook in a 5 s timeout
+    # so a hanging hook cannot hang crawl exit)
+    close_timeout_ms: int = 5_000
 
     # ---- reference-style flat-key loading (src/settings.rs:103-108) ----
     _KEYMAP = {
@@ -118,6 +130,32 @@ class Settings:
     @classmethod
     def from_file(cls, path: str) -> "Settings":
         return cls.from_dict(cls.raw_from_file(path))
+
+    @classmethod
+    def raw_from_module(cls, module) -> dict:
+        """Raw key→value dict from an imported module object or a
+        dotted module path — the module analogue of raw_from_file.
+        Mirrors PySettings.from_module
+        (/root/reference/python/src/lib.rs:1065-1075): every UPPER_CASE
+        attribute of the module is a settings key; everything else
+        (imports, helpers, dunders) is ignored. Unlike the .py file
+        parser this reads a LIVE module, so computed values work."""
+        if isinstance(module, str):
+            import importlib
+
+            module = importlib.import_module(module)
+        return {
+            k: v
+            for k, v in vars(module).items()
+            if k.isupper() and not k.startswith("_")
+        }
+
+    @classmethod
+    def from_module(cls, module) -> "Settings":
+        """Settings from an imported module object or dotted path
+        (``Settings.from_module(my_settings)`` or
+        ``Settings.from_module("mypkg.settings")``)."""
+        return cls.from_dict(cls.raw_from_module(module))
 
 
 def _parse_py_settings(path: str) -> dict:

@@ -41,11 +41,83 @@ MANIFEST = "MANIFEST.json"
 
 
 class CrawlStore:
-    def __init__(self, spark: SparkSession, root: str, seen_buckets: int = 32):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        seen_buckets: int = 32,
+        bucketed_seen: bool = False,
+    ):
+        """bucketed_seen=True stores the seen set as a Spark BUCKETED
+        TABLE (bucketBy(url_hash) + sortBy, external location under the
+        store root) instead of per-round parquet delta dirs. The
+        bucketed scan's output partitioning satisfies the anti-join's
+        clustering requirement, so the seen side joins with NO Exchange
+        — the sandbox demonstration of the design's Iceberg
+        storage-partitioned join (SURVEY §4.2): the 10^10-row seen set
+        is never re-shuffled; only the (small) per-round candidate batch
+        is. Commit discipline is preserved: delta rows carry their round
+        number and readers filter to committed rounds, so an interrupted
+        append is invisible (a crash-then-rerun can leave duplicate
+        url_hash rows for one round — harmless to anti-join membership,
+        same guarantee compact_seen documents)."""
         self.spark = spark
         self.root = root
         self.seen_buckets = seen_buckets
+        self.bucketed_seen = bucketed_seen
         os.makedirs(self._rounds_dir(), exist_ok=True)
+        if bucketed_seen:
+            self._ensure_seen_table()
+
+    # ---- bucketed seen table ----
+    @property
+    def _seen_table(self) -> str:
+        import hashlib
+
+        tag = hashlib.md5(
+            os.path.abspath(self.root).encode()
+        ).hexdigest()[:12]
+        return f"crawl_seen_{tag}"
+
+    def _seen_table_path(self) -> str:
+        return os.path.join(self.root, "seen_bucketed")
+
+    def _ensure_seen_table(self) -> None:
+        """Register the bucketed seen table in the session catalog.
+        Bucketing metadata lives in the CATALOG, not the files — a new
+        session (resume) must re-register the existing location or the
+        scan degrades to a plain parquet read (and the anti-join would
+        re-shuffle the seen side)."""
+        if self.spark.catalog.tableExists(self._seen_table):
+            return
+        path = self._seen_table_path()
+        if os.path.isdir(path):
+            # resume in a fresh session: re-attach the existing data
+            self.spark.sql(
+                f"CREATE TABLE {self._seen_table}"
+                " (url_hash BIGINT, bucket INT, round INT)"
+                " USING parquet"
+                " CLUSTERED BY (url_hash) SORTED BY (url_hash)"
+                f" INTO {self.seen_buckets} BUCKETS"
+                f" LOCATION '{path}'"
+            )
+
+    def _append_seen_bucketed(self, seen_delta: DataFrame, rnd: int) -> None:
+        (
+            seen_delta.select(
+                F.col("url_hash").cast("bigint").alias("url_hash"),
+                F.pmod(F.col("url_hash"), F.lit(self.seen_buckets))
+                .cast("int")
+                .alias("bucket"),
+                F.lit(rnd).cast("int").alias("round"),
+            )
+            .write.format("parquet")
+            .bucketBy(self.seen_buckets, "url_hash")
+            .sortBy("url_hash")
+            .option("path", self._seen_table_path())
+            .mode("append")
+            .saveAsTable(self._seen_table)
+        )
 
     # ---- layout ----
     def _rounds_dir(self) -> str:
@@ -106,18 +178,26 @@ class CrawlStore:
         if clean:
             self.begin_round(rnd)
         frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-        (
-            seen_delta.withColumn(
-                "bucket",
-                F.pmod(F.col("url_hash"), F.lit(self.seen_buckets)).cast("int"),
+        if self.bucketed_seen:
+            # append into the bucketed table, tagged with the round;
+            # readers filter to committed rounds so this stays invisible
+            # until MANIFEST lands
+            self._append_seen_bucketed(seen_delta, rnd)
+        else:
+            (
+                seen_delta.withColumn(
+                    "bucket",
+                    F.pmod(
+                        F.col("url_hash"), F.lit(self.seen_buckets)
+                    ).cast("int"),
+                )
+                # cluster rows by bucket before the partitioned write: one
+                # file per bucket instead of (tasks × buckets) small files
+                .repartition(self.seen_buckets, F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(d, "seen_delta"))
             )
-            # cluster rows by bucket before the partitioned write: one
-            # file per bucket instead of (tasks × buckets) small files
-            .repartition(self.seen_buckets, F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(d, "seen_delta"))
-        )
         if items is not None:
             items.write.mode("overwrite").parquet(os.path.join(d, "items"))
         if host_served is not None:
@@ -137,6 +217,29 @@ class CrawlStore:
 
     def load_seen(self, upto_round: int | None = None) -> DataFrame:
         """Union of committed seen deltas ≤ upto_round."""
+        if self.bucketed_seen:
+            # one bucketed-table scan, filtered to committed rounds
+            # (uncommitted appends are always > the latest committed
+            # round — rounds commit in order). The filter is a cheap
+            # data filter; the scan keeps its bucketed output
+            # partitioning, so downstream anti-joins need no Exchange
+            # on this side.
+            self._ensure_seen_table()
+            if not self.spark.catalog.tableExists(self._seen_table):
+                return self.spark.createDataFrame(
+                    [], "url_hash BIGINT, bucket INT"
+                )
+            latest = self.latest_round()
+            if latest is None:
+                return self.spark.createDataFrame(
+                    [], "url_hash BIGINT, bucket INT"
+                )
+            cutoff = latest if upto_round is None else min(latest, upto_round)
+            return (
+                self.spark.table(self._seen_table)
+                .filter(F.col("round") <= F.lit(cutoff))
+                .select("url_hash", "bucket")
+            )
         rounds = self.committed_rounds()
         if upto_round is not None:
             rounds = [r for r in rounds if r <= upto_round]
@@ -183,6 +286,27 @@ class CrawlStore:
             .select("url_hash", "bucket")
         )
 
+    def seen_generation(self) -> int:
+        """Monotone counter bumped by every compact_seen. A compaction
+        rewrites the NEWEST round's seen_delta dir IN PLACE, which a
+        caller's round-set cache key cannot see (the set of delta dirs is
+        unchanged) — cached DataFrames would point at deleted parquet
+        files. Cache the generation alongside the round set and rebuild
+        when it moves."""
+        p = os.path.join(self.root, "seen_generation")
+        try:
+            with open(p) as f:
+                return int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _bump_seen_generation(self) -> None:
+        p = os.path.join(self.root, "seen_generation")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self.seen_generation() + 1))
+        os.replace(tmp, p)
+
     def compact_seen(self) -> None:
         """Fold all committed seen deltas into the latest round's delta
         (Iceberg analogue: rewrite_data_files / snapshot expiry).
@@ -191,7 +315,16 @@ class CrawlStore:
         ordering: the full union is written to a side dir first, swapped
         into the latest round, THEN earlier deltas are removed — a crash
         between swap and removal only leaves duplicate url_hash rows,
-        which are harmless to anti-join membership."""
+        which are harmless to anti-join membership. Bumps
+        seen_generation() last so incremental-cache holders notice the
+        in-place rewrite of the newest delta dir."""
+        if self.bucketed_seen:
+            # the bucketed table is already ONE scan wide regardless of
+            # round count — there is no delta pile-up to fold. (File
+            # counts grow 1/bucket/round; a production Iceberg table
+            # would rewrite_data_files on a cadence, and duplicates from
+            # crashed rounds are membership-harmless either way.)
+            return
         rounds = self.committed_rounds()
         if len(rounds) < 2:
             return
@@ -211,6 +344,7 @@ class CrawlStore:
                 os.path.join(self._round_dir(r), "seen_delta"),
                 ignore_errors=True,
             )
+        self._bump_seen_generation()
 
     def load_host_served(self, rnd: int) -> DataFrame:
         p = os.path.join(self._round_dir(rnd), "host_served")

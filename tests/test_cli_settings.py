@@ -116,3 +116,44 @@ def test_cli_settings_py_start_urls_and_resume(spark, tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     stats2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert stats2["requests"] == 6  # prior rounds' totals, nothing re-crawled
+
+
+def test_cli_settings_dotted_module_path(spark, tmp_path):
+    """`--settings mypkg.settings` loads a LIVE module via
+    Settings.from_module (PySettings.from_module analogue,
+    python/src/lib.rs:1065-1075) — computed values work, START_URLS
+    builds the spider."""
+    from scrapy_rs_spark.sources.mocksite import mock_site_pages
+
+    pages_path = str(tmp_path / "pages")
+    mock_site_pages(spark, 20, 5, partitions=2).write.parquet(pages_path)
+    pkg = tmp_path / "clipkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "settings.py").write_text(
+        "SCHEDULER_TYPE = 'breadth_first'\n"
+        "MAX_DEPTH = 0 + 1  # a computed value the file parser skips\n"
+        "START_URLS = ['http://mocksite.test/' + str(0)]\n"
+        "ALLOWED_DOMAINS = ['mocksite.test']\n"
+    )
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{tmp_path}{os.pathsep}/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "scrapy_rs_spark", "crawl",
+            "--pages", pages_path,
+            "--settings", "clipkg.settings",  # dotted path, not a file
+            "--store", str(tmp_path / "store"),
+            "--master", "local[4]",
+            "--json",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["requests"] == 6  # MAX_DEPTH=1 + START_URLS both honored
