@@ -37,7 +37,13 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         # broadcast small dims (robots/policy tables) aggressively
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver heap IS the executor heap; the 4M-page
+        # sustained crawl needs ~9 GB of page cache plus execution
+        # memory for 32 concurrent sort-aggregates, and 8g tipped into
+        # SparkOutOfMemoryError at that point. The sandbox has 128 GiB;
+        # on a real cluster this knob is irrelevant (executor memory is
+        # sized by the resource manager).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         # keep stdout clean: progress bars interleave with (and have
         # truncated) machine-read result lines from bench harnesses
