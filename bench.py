@@ -271,12 +271,24 @@ def _seen_probe(
                     t0 = time.time()
                     anti_join_seen(cands, st.load_seen()).count()
                     times.append(round(time.time() - t0, 3))
+                # steady-state: the compaction cadence keeps both
+                # layouts folded (plain: deltas → 1 dir; bucketed:
+                # 1 file/bucket, which restores the sorted-scan
+                # metadata and elides the seen-side SMJ Sort)
+                st.compact_seen()
+                ctimes = []
+                for _ in range(3):
+                    t0 = time.time()
+                    anti_join_seen(cands, st.load_seen()).count()
+                    ctimes.append(round(time.time() - t0, 3))
                 out[label] = {
                     "exchanges": final.count("Exchange"),
                     "bucketed_scan": "Bucketed: true" in final,
                     "fresh_rows": len(rows),
                     "probe_seconds": times,
                     "probe_s_min": min(times),
+                    "compacted_probe_seconds": ctimes,
+                    "compacted_probe_s_min": min(ctimes),
                 }
             finally:
                 shutil.rmtree(root, ignore_errors=True)

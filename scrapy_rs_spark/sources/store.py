@@ -319,11 +319,7 @@ class CrawlStore:
         seen_generation() last so incremental-cache holders notice the
         in-place rewrite of the newest delta dir."""
         if self.bucketed_seen:
-            # the bucketed table is already ONE scan wide regardless of
-            # round count — there is no delta pile-up to fold. (File
-            # counts grow 1/bucket/round; a production Iceberg table
-            # would rewrite_data_files on a cadence, and duplicates from
-            # crashed rounds are membership-harmless either way.)
+            self._compact_seen_bucketed()
             return
         rounds = self.committed_rounds()
         if len(rounds) < 2:
@@ -344,6 +340,61 @@ class CrawlStore:
                 os.path.join(self._round_dir(r), "seen_delta"),
                 ignore_errors=True,
             )
+        self._bump_seen_generation()
+
+    def _compact_seen_bucketed(self) -> None:
+        """Rewrite the bucketed seen table to ONE file per bucket
+        (Iceberg analogue: rewrite_data_files). Appends land 1 file per
+        bucket per round, so a long crawl accumulates buckets×rounds
+        files — a 10^5-round standing crawl would hold millions — and a
+        bucket spread over many files forfeits the SORTED BY metadata
+        (Spark only reports sorted scan output for single-file buckets),
+        so every anti-join re-sorts the seen side. Compaction restores
+        both bounds: file count = buckets, and the SMJ's seen-side Sort
+        is elided.
+
+        Crash-safety mirrors compact_seen's plain path: the folded table
+        is fully written to a side location first, then swapped in with
+        two renames; a crash between them leaves either the old data or
+        a recoverable ``seen_bucketed_old`` (plus at worst duplicate
+        url_hash rows, harmless to anti-join membership). The catalog
+        entries are session-scoped metadata and are re-registered from
+        the on-disk location afterwards."""
+        latest = self.latest_round()
+        if latest is None:
+            return
+        main = self._seen_table_path()
+        if not os.path.isdir(main):
+            return
+        tmp = main + "_compact"
+        bak = main + "_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(bak, ignore_errors=True)
+        tmp_table = self._seen_table + "_compact"
+        folded = (
+            self.load_seen()  # committed rounds only
+            .dropDuplicates(["url_hash"])
+            .withColumn("round", F.lit(latest).cast("int"))
+            .select("url_hash", "bucket", "round")
+            # one output file per bucket: coalesce writer tasks to the
+            # bucket count so each bucket's rows land in a single task
+            .repartition(self.seen_buckets, F.col("url_hash"))
+        )
+        (
+            folded.write.format("parquet")
+            .bucketBy(self.seen_buckets, "url_hash")
+            .sortBy("url_hash")
+            .option("path", tmp)
+            .mode("overwrite")
+            .saveAsTable(tmp_table)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._seen_table}")
+        os.replace(main, bak)
+        os.replace(tmp, main)
+        shutil.rmtree(bak, ignore_errors=True)
+        self._ensure_seen_table()
+        self.spark.catalog.refreshTable(self._seen_table)
         self._bump_seen_generation()
 
     def load_host_served(self, rnd: int) -> DataFrame:

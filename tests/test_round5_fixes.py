@@ -210,6 +210,52 @@ def test_bucketed_seen_uncommitted_round_invisible(spark, tmp_path):
     assert st.load_seen().count() == 100
 
 
+def test_bucketed_seen_compaction_bounds_files_and_elides_sort(
+    spark, tmp_path, no_broadcast
+):
+    """compact_seen in bucketed mode rewrites the table to ONE file per
+    bucket (Iceberg rewrite_data_files analogue). Appends land
+    1 file/bucket/round, so a standing crawl accumulates
+    buckets×rounds files, and multi-file buckets forfeit the SORTED BY
+    metadata — the anti-join re-sorts the seen side every round.
+    Post-compact: file count == buckets, membership unchanged, plan
+    still exchange-free on the seen side AND its Sort is elided."""
+    import os
+
+    from scrapy_rs_spark.operators.dedup import anti_join_seen
+
+    st = CrawlStore(
+        spark, str(tmp_path / "store"), seen_buckets=4, bucketed_seen=True
+    )
+    for r in range(4):
+        _commit_seen(st, spark, r, r * 1000, (r + 1) * 1000)
+    cands = spark.range(3500, 5500).select(
+        F.xxhash64("id").alias("url_hash"), F.lit(1).alias("depth")
+    )
+    before = sorted(
+        r.url_hash for r in st.load_seen().distinct().collect()
+    )
+    plan_pre = _final_plan(anti_join_seen(cands, st.load_seen()))
+    # multi-file buckets: both SMJ sides carry a Sort node
+    assert plan_pre.count(" Sort [") == 2
+    gen0 = st.seen_generation()
+    st.compact_seen()
+    assert st.seen_generation() == gen0 + 1
+    files = [
+        f
+        for f in os.listdir(st._seen_table_path())
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 4  # one per bucket
+    after = sorted(r.url_hash for r in st.load_seen().distinct().collect())
+    assert after == before
+    plan_post = _final_plan(anti_join_seen(cands, st.load_seen()))
+    assert "Bucketed: true" in plan_post
+    assert plan_post.count("Exchange") == 1  # candidates side only
+    # single-file buckets: the seen-side Sort is gone (candidates only)
+    assert plan_post.count(" Sort [") == 1
+
+
 def test_bucketed_seen_reregisters_in_fresh_session(
     spark, tmp_path, no_broadcast
 ):
