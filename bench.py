@@ -258,7 +258,10 @@ def _seen_probe(
                         F.xxhash64("id").alias("url_hash")
                     )
                     st.commit_round(r, tiny, delta, None, None, {"round": r})
-                cands = spark.range(10_000_000, 10_000_000 + cand_rows).select(
+                # disjoint id range: candidates must be genuinely fresh
+                # (an all-seen batch short-circuits the join's output)
+                cand_lo = 10**12
+                cands = spark.range(cand_lo, cand_lo + cand_rows).select(
                     F.xxhash64("id").alias("url_hash")
                 )
                 # plan inspection: final adaptive plan of the join itself
