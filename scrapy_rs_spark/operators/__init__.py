@@ -10,6 +10,11 @@ from scrapy_rs_spark.operators.dedup import (
     dedup_in_batch,
     anti_join_seen,
 )
+from scrapy_rs_spark.operators.fetch import (
+    fetch_join,
+    split_fetched,
+    strict_spacing,
+)
 from scrapy_rs_spark.operators.textdedup import (
     dedup_clusters,
     exact_dedup,
@@ -34,4 +39,7 @@ __all__ = [
     "take_batch",
     "dedup_in_batch",
     "anti_join_seen",
+    "fetch_join",
+    "split_fetched",
+    "strict_spacing",
 ]

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 REDIRECT_STATUSES = [301, 302, 303, 307, 308]
 RETRYABLE_STATUSES = [408, 429, 500, 502, 503, 504]
@@ -136,6 +137,125 @@ def fetch_join(
 
 def is_success(status: Column) -> Column:
     return status.between(200, 299)
+
+
+def strict_spacing(
+    batch: DataFrame,
+    default_delay_ms: int = 0,
+    host_delays: DataFrame | None = None,
+    emit_send_ts: bool = False,
+) -> DataFrame:
+    """Strict per-request wall-clock spacing — the opt-in fidelity mode
+    of T1 (SURVEY §7.0 deviation row). The reference's download slot
+    sleeps until ``last_request + delay`` before every request to a host
+    (/root/reference/engine/src/slot.rs:127-137); the engine's default
+    contract is the per-round budget (same served rate over any window
+    ≥ one round, but intra-round requests to a host may burst). When a
+    user needs the reference's intra-round spacing (shared hosts,
+    strict politeness audits), this stage restores it:
+
+      1. JVM-side, each row gets a scheduled send offset:
+         ``(row_number per host − 1) × effective_delay`` — the exact
+         send schedule the reference's slot clock would produce for the
+         batch, computed declaratively (one hash-partition by host).
+      2. An executor-local ``mapInPandas`` stage sleeps each row until
+         its offset (partition-relative monotonic clock — the analogue
+         of each slot's independent ``last_request_time``). Rows are
+         sorted by offset within the partition, so different hosts
+         overlap exactly as the reference's concurrent per-domain slots
+         do: partition wall-clock = the slowest host's schedule, not
+         the sum.
+
+    effective_delay = greatest(default_delay_ms, robots Crawl-delay for
+    the host) — identical inputs to the budget path. Row CONTENT and
+    batch membership are untouched: strict mode changes WHEN within the
+    round rows reach the downloader, never WHICH rows.
+
+    Deliberately the slow path (a task's throughput for one host is
+    capped at 1/delay — the documented anti-pattern at 10^10 scale,
+    which is why the per-round budget is the default contract and this
+    is opt-in via ``Settings.strict_delay``). The per-row sleep loop is
+    by design: the sleeps dominate any Python overhead.
+
+    ``emit_send_ts=True`` keeps ``__send_at_ms`` (the schedule) and adds
+    ``__sent_at_ms`` (partition-relative monotonic time the row was
+    actually released) so tests can pin per-host spacing.
+    """
+    from pyspark.sql.window import Window
+
+    out_cols = list(batch.columns)
+    d = F.lit(int(default_delay_ms)).cast("bigint")
+    if host_delays is not None:
+        hd = host_delays.filter(
+            F.col("crawl_delay_ms").isNotNull()
+        ).select(
+            F.col("host").alias("__sp_host"),
+            F.col("crawl_delay_ms").alias("__sp_delay"),
+        )
+        batch = batch.join(
+            F.broadcast(hd), batch["host"] == hd["__sp_host"], "left"
+        ).drop("__sp_host")
+        eff = F.greatest(
+            d, F.coalesce(F.col("__sp_delay"), F.lit(0)).cast("bigint")
+        )
+    else:
+        eff = d
+    # deterministic slot order: batch_rank when the ranked path set it,
+    # url_hash tie-break for the single-window path's NULL ranks
+    order = (
+        [F.col("batch_rank").asc_nulls_last(), F.col("url_hash").asc()]
+        if "batch_rank" in out_cols
+        else [F.col("url_hash").asc()]
+    )
+    w = Window.partitionBy("host").orderBy(*order)
+    scheduled = (
+        batch.withColumn(
+            "__send_at_ms",
+            (F.row_number().over(w) - F.lit(1)).cast("bigint") * eff,
+        )
+        .drop("__sp_delay")
+        # the window already hash-partitioned by host; only re-sort so
+        # the pacing loop sleeps strictly forward (no second Exchange)
+        .sortWithinPartitions("__send_at_ms")
+    )
+    result_cols = (
+        out_cols + ["__send_at_ms", "__sent_at_ms"]
+        if emit_send_ts
+        else out_cols
+    )
+    schema = T.StructType(
+        [scheduled.schema[c] for c in out_cols]
+        + (
+            [
+                T.StructField("__send_at_ms", T.LongType(), True),
+                T.StructField("__sent_at_ms", T.DoubleType(), True),
+            ]
+            if emit_send_ts
+            else []
+        )
+    )
+
+    def _pace(batches):
+        import time
+
+        t0 = time.monotonic()
+        for pdf in batches:
+            offs = pdf["__send_at_ms"].to_list()
+            sent = []
+            for off in offs:
+                wait = t0 + off / 1000.0 - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                if emit_send_ts:
+                    sent.append((time.monotonic() - t0) * 1000.0)
+            if emit_send_ts:
+                pdf = pdf.copy()
+                pdf["__sent_at_ms"] = sent
+                yield pdf[result_cols]
+            else:
+                yield pdf[out_cols]
+
+    return scheduled.mapInPandas(_pace, schema)
 
 
 def is_redirect(status: Column) -> Column:

@@ -488,8 +488,22 @@ class CrawlEngine:
                 ).drop("__served", "__host_delay")
 
         # ---- fetch (J2) + route ----
+        # strict mode (T1 fidelity, slot.rs:127-137): pace ONLY the frame
+        # feeding the fetch join — the fetched checkpoint below
+        # materializes it exactly once, so the sleeps run once per round
+        # and every other consumer of `batch` (leftover anti-join,
+        # counters) reads the unpaced rows. Row membership is identical.
+        fetch_src = batch
+        if s.strict_delay:
+            from scrapy_rs_spark.operators.fetch import strict_spacing
+
+            fetch_src = strict_spacing(
+                batch,
+                default_delay_ms=max(s.domain_delay_ms, s.download_delay_ms),
+                host_delays=self.robots if self._has_host_delays else None,
+            )
         fetched = fetch_join(
-            batch, self.pages, default_timeout_ms=s.request_timeout_ms
+            fetch_src, self.pages, default_timeout_ms=s.request_timeout_ms
         )
         if self.response_middlewares is not None:
             fetched = self.response_middlewares(fetched)  # X3

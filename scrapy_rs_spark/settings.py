@@ -69,6 +69,14 @@ class Settings:
     # wraps each spider/pipeline/middleware close hook in a 5 s timeout
     # so a hanging hook cannot hang crawl exit)
     close_timeout_ms: int = 5_000
+    # strict per-request wall-clock spacing (T1 fidelity mode): when on,
+    # the fetch batch is paced executor-locally so one host's requests
+    # are released >= effective_delay apart WITHIN a round, matching the
+    # reference slot's sleep-until-delay (engine/src/slot.rs:127-137).
+    # Off by default — the per-round budget is the scale contract (same
+    # served rate, no per-task 1/delay throughput cap); see
+    # operators/fetch.py strict_spacing and SURVEY §7.0.
+    strict_delay: bool = False
 
     # ---- reference-style flat-key loading (src/settings.rs:103-108) ----
     _KEYMAP = {
