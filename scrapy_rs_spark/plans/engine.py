@@ -494,7 +494,10 @@ class CrawlEngine:
         # and every other consumer of `batch` (leftover anti-join,
         # counters) reads the unpaced rows. Row membership is identical.
         fetch_src = batch
-        if s.strict_delay:
+        if s.strict_delay and (
+            max(s.domain_delay_ms, s.download_delay_ms) > 0
+            or self._has_host_delays
+        ):
             from scrapy_rs_spark.operators.fetch import strict_spacing
 
             fetch_src = strict_spacing(
