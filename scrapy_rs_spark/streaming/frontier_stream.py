@@ -143,8 +143,20 @@ class StreamingCrawl:
         if batch.isEmpty():
             return
         bid = int(batch_id)
+        # strict per-request spacing (T1 fidelity mode) applies to the
+        # streaming path too — same operator, same semantics as the
+        # batch engine (the standing crawl has no robots table, so only
+        # the global delay feeds the schedule); membership unchanged
+        fetch_src = batch
+        strict_delay_ms = max(s.domain_delay_ms, s.download_delay_ms)
+        if s.strict_delay and strict_delay_ms > 0:
+            from scrapy_rs_spark.operators.fetch import strict_spacing
+
+            fetch_src = strict_spacing(
+                fetch_src, default_delay_ms=strict_delay_ms
+            )
         fetched = fetch_join(
-            batch, self.pages,
+            fetch_src, self.pages,
             default_timeout_ms=s.request_timeout_ms,
         ).localCheckpoint(eager=True)
         success = fetched.filter(is_success(F.col("status"))).repartition(

@@ -138,3 +138,31 @@ def test_engine_strict_delay_parity_and_spacing(spark, tmp_path):
     # busiest round serves 5 rows on some host -> >= 4*0.2s of pacing in
     # that round alone; loose floor to stay robust on a noisy box
     assert wall_s >= 0.8
+
+
+def test_streaming_strict_delay_parity(spark, tmp_path):
+    """Strict spacing applies to the standing crawl too (same operator,
+    streaming micro-batch path): identical final item set, and the
+    per-host schedule stretches the stream's wall clock."""
+    from scrapy_rs_spark.sources.mocksite import BASE_URL, mock_site_pages
+    from scrapy_rs_spark.streaming.frontier_stream import StreamingCrawl
+
+    pages = mock_site_pages(
+        spark, page_count=20, links_per_page=5, partitions=4
+    ).localCheckpoint(eager=True)
+    sc = StreamingCrawl(
+        spark,
+        pages,
+        str(tmp_path / "stream_strict"),
+        Settings(
+            scheduler_type="breadth_first",
+            max_depth=2,
+            download_delay_ms=100,
+            strict_delay=True,
+        ),
+    )
+    items = sc.run([f"{BASE_URL}/0"], timeout_s=240, idle_stop_s=12)
+    got = {r.url for r in items.select("url").collect()}
+    # same closed-form BFS depth<=2 item set as the non-strict streaming
+    # test — pacing never changes membership
+    assert got == {f"{BASE_URL}/{i}" for i in range(0, 11)}
