@@ -361,6 +361,42 @@ def crawl_main(master: str, pages_n: int, warmup: bool = True) -> None:
         spark.stop()
 
 
+def _host_calibration() -> dict:
+    """Fixed-work CPU microbenchmark, measured in-process at bench
+    start. Cross-ROUND bench comparisons on this box are confounded by
+    co-tenant load that /proc/stat steal alone does not capture
+    (frequency/bandwidth contention: identical code has measured 1.5×
+    apart on different days at steal 0.0 — BASELINE.md methodology).
+    Recording a deterministic workload's wall time alongside every
+    bench run gives each artifact its own speed-of-host denominator:
+    compare round N's crawl numbers to round M's only after dividing
+    out calibration drift. Not used to SCALE any reported metric —
+    evidence only."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):  # single-core scalar speed
+        x += i * 3 // 7
+    py_loop_s = time.perf_counter() - t0
+    a = np.random.default_rng(0).random((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(5):  # BLAS/memory-bandwidth throughput
+        a @ a
+    matmul_s = time.perf_counter() - t0
+    return {"py_loop_s": round(py_loop_s, 3), "matmul5_s": round(matmul_s, 3)}
+
+
+def _cpu_ticks() -> tuple[int | None, int | None]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]), sum(int(v) for v in parts[1:])
+    except Exception:
+        return None, None
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl":
         crawl_main(
@@ -371,6 +407,8 @@ def main() -> None:
         return
 
     result: dict = {"unit": "sec", "sf": SF, "queries": {}}
+    steal0, total0 = _cpu_ticks()
+    result["host"] = _host_calibration()
 
     # ONE in-process session for the query sweep AND the polite crawl —
     # recreating a SparkContext in-process leaves the first context's
@@ -467,6 +505,12 @@ def main() -> None:
     # truncated the FRONT of the ~4.6 KB full line — the driver's tail
     # buffer is finite, so the printed line must stay small. Compact =
     # headline metrics + per-query seconds, NO round_times arrays.
+    steal1, total1 = _cpu_ticks()
+    if steal0 is not None and steal1 is not None:
+        dt = max(total1 - total0, 1)
+        result["host"]["steal_ticks"] = steal1 - steal0
+        result["host"]["steal_pct"] = round(100.0 * (steal1 - steal0) / dt, 2)
+
     payload = json.dumps(result)
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
@@ -481,6 +525,7 @@ def main() -> None:
         "value": result["value"],
         "unit": "sec",
         "sf": SF,
+        "host": result.get("host"),
         "queries": result["queries"],
         "crawl": result["crawl"],
     }
