@@ -100,6 +100,38 @@ def test_zero_delay_is_passthrough(spark):
     assert len(out) == 5
 
 
+def test_strict_spacing_plan_single_exchange(spark):
+    """Plan pin: the pacing stage costs exactly ONE shuffle — the
+    window's hash-partition by host. The host-delays lookup is a
+    broadcast (never a shuffle of the batch), and the forward-sleep
+    ordering rides sortWithinPartitions on the window's existing
+    partitioning (no second Exchange, no global range sort)."""
+    rows = [(f"h{i % 7}.test", i, i, f"p{i}") for i in range(100)]
+    delays = spark.createDataFrame(
+        [("h0.test", 2), ("h3.test", 3)], "host string, crawl_delay_ms long"
+    )
+    df = strict_spacing(
+        _mini_batch(spark, rows),
+        default_delay_ms=1,
+        host_delays=delays,
+        emit_send_ts=True,
+    )
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan  # delays side stays broadcast
+    # exactly one shuffle total: every other Exchange mention is the
+    # broadcast of the tiny delay table
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1
+
+
 def test_engine_strict_delay_parity_and_spacing(spark, tmp_path):
     """strict_delay=True serves exactly the same (url, round) set as the
     budget-only crawl — strict mode changes timing, not membership —
