@@ -9,7 +9,8 @@ parquet directories with the same layout discipline:
     root/rounds/round=NNNNNN/seen_delta/      (parquet, partitioned by bucket)
     root/rounds/round=NNNNNN/items/           (parquet)
     root/rounds/round=NNNNNN/host_served/     (parquet)
-    root/rounds/round=NNNNNN/metrics.json     (counters + lineage)
+    root/rounds/round=NNNNNN/metrics.json     (counters)
+    root/rounds/round=NNNNNN/lineage.json     (per-partition lineage)
     root/rounds/round=NNNNNN/MANIFEST.json    (commit marker, written last)
 
 A round is committed iff MANIFEST.json exists — the parquet analogue of
@@ -206,6 +207,8 @@ class CrawlStore:
             )
         with open(os.path.join(d, "metrics.json"), "w") as f:
             json.dump(metrics, f)
+        with open(os.path.join(d, "lineage.json"), "w") as f:
+            json.dump(self._harvest_lineage(rnd), f)
         with open(os.path.join(d, MANIFEST), "w") as f:
             json.dump({"round": rnd, "metrics": metrics}, f)
 
@@ -440,3 +443,124 @@ class CrawlStore:
             with open(os.path.join(self._round_dir(r), "metrics.json")) as f:
                 out.append(json.load(f))
         return out
+
+    # ---- per-partition lineage (north rule: "per-partition lineage +
+    # counters for resumable crawls") ----
+    def _harvest_lineage(self, rnd: int) -> list[dict]:
+        """One lineage row per data FILE the round committed:
+        (dataset, partition, file, rows, bytes). Rows come from parquet
+        footers, read driver-side — NO Spark jobs. This is the sandbox
+        stand-in for the Iceberg manifest metadata the production design
+        gets for free on every snapshot commit (Iceberg manifests record
+        exactly this: file path, partition tuple, record count, size).
+        The walk is O(files-per-round), which the writers bound:
+        seen_delta is repartitioned to seen_buckets files, frontier to
+        the shuffle-partition count — ~100 footer reads per round, never
+        O(data)."""
+        import pyarrow.parquet as pq
+
+        d = self._round_dir(rnd)
+        out = []
+        for dataset in ("frontier", "seen_delta", "items", "host_served"):
+            base = os.path.join(d, dataset)
+            if not os.path.isdir(base):
+                continue
+            for dirpath, _dirs, files in os.walk(base):
+                part = os.path.relpath(dirpath, base)
+                part = "" if part == "." else part
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(dirpath, fn)
+                    out.append(
+                        {
+                            "round": rnd,
+                            "dataset": dataset,
+                            "partition": part,
+                            "file": fn,
+                            "rows": pq.ParquetFile(fp).metadata.num_rows,
+                            "bytes": os.path.getsize(fp),
+                        }
+                    )
+        if self.bucketed_seen:
+            out.extend(self._bucketed_delta_lineage(rnd))
+        return out
+
+    def _bucketed_delta_lineage(self, rnd: int) -> list[dict]:
+        """Lineage for a bucketed-seen append: the round's delta rows
+        live inside the shared bucketed table, so the round's files are
+        identified by their footer statistics (every row group has
+        round min == max == rnd — each append writes only its own round
+        tag). The bucket id is the Spark bucketed-file suffix
+        (part-XXXXX-<uuid>_NNNNN.*). Records taken at commit time stay
+        valid as historical commit records even after compact_seen
+        rewrites the table."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        loc = self._seen_table_path()
+        if not os.path.isdir(loc):
+            return []
+        out = []
+        for dirpath, _dirs, files in os.walk(loc):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(fp).metadata
+                names = md.schema.to_arrow_schema().names
+                if "round" not in names:
+                    continue
+                ci = names.index("round")
+                stats = [
+                    md.row_group(g).column(ci).statistics
+                    for g in range(md.num_row_groups)
+                ]
+                if not stats or any(
+                    s is None or s.min != rnd or s.max != rnd for s in stats
+                ):
+                    continue
+                m = re.search(r"_(\d{5})\.", fn)
+                out.append(
+                    {
+                        "round": rnd,
+                        "dataset": "seen_delta",
+                        "partition": (
+                            f"bucket={int(m.group(1))}" if m else ""
+                        ),
+                        "file": fn,
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(fp),
+                    }
+                )
+        return out
+
+    def load_lineage(self, rounds: list[int] | None = None) -> list[dict]:
+        """Committed per-partition lineage rows (see _harvest_lineage).
+        Rounds committed before lineage existed simply have no file."""
+        out = []
+        for r in (
+            rounds if rounds is not None else self.committed_rounds()
+        ):
+            p = os.path.join(self._round_dir(r), "lineage.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.extend(json.load(f))
+        return out
+
+    def lineage_df(self) -> DataFrame:
+        """Lineage as a DataFrame — the queryable analogue of Iceberg's
+        `.files` / `.manifests` metadata tables, joinable with
+        metrics_df() on round for audit queries (rows written per
+        partition per round, skew of the seen delta across buckets,
+        bytes committed per round)."""
+        ddl = (
+            "round INT, dataset STRING, partition STRING, file STRING,"
+            " rows BIGINT, bytes BIGINT"
+        )
+        rows = self.load_lineage()
+        cols = ["round", "dataset", "partition", "file", "rows", "bytes"]
+        return self.spark.createDataFrame(
+            [tuple(r[c] for c in cols) for r in rows], ddl
+        )
