@@ -182,6 +182,10 @@ class CrawlEngine:
         # holds) and rebuilds after compaction prunes cached paths.
         self._seen_df_cache: DataFrame | None = None
         self._seen_cache_rounds: set[int] = set()
+        # running seen-set size (cumulative seen-delta rows) for the
+        # METRICS_SCHEMA seen_size field; re-derived from committed
+        # metrics at resume()
+        self._seen_total: int = 0
         self._seen_cache_gen: int = -1
         self.bloom = None
         if self.settings.use_bloom_sidecar:
@@ -805,8 +809,28 @@ class CrawlEngine:
             "retries": 0,  # filled below
             "new_urls": 0,  # filled below
         }
+        # frontier staged next (still invisible until MANIFEST): its
+        # write is the action that materializes the candidates
+        # checkpoint, and an Observation riding it returns BOTH the
+        # committed frontier size and the new-URL count — within this
+        # round, candidate rows (parsed links + redirects, post
+        # filter/dedup/anti-join) are exactly the discovery_round ==
+        # rnd+1 rows of the union; leftover/gated/retry rows are all
+        # older. This replaces the standalone candidates.count() job AND
+        # the crawl loop's per-round frontier.isEmpty() probe — two
+        # driver round-trips off the fixed per-round job floor.
+        obs_fr = Observation(f"frontier_r{rnd}")
+        next_frontier = next_frontier.observe(
+            obs_fr,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("discovery_round") == F.lit(rnd + 1)).cast("long")
+            ).alias("n_new"),
+        )
+        self.store.write_frontier(rnd, next_frontier)
+        fr_vals = obs_fr.get
+        n_new = int(fr_vals["n_new"] or 0)
         n_retries_requeued = 0 if retries is None else retries.count()
-        n_new = candidates.count()
         _mark("counts")
         n_exhausted = n_retry_in - n_retries_requeued
         metrics["retries"] = n_retries_requeued
@@ -814,10 +838,14 @@ class CrawlEngine:
         # fetched but produced nothing (text.py error-channel contract)
         metrics["errors"] = n_error + n_exhausted + n_null_text
         metrics["new_urls"] = n_new
+        metrics["frontier_size"] = int(fr_vals["n"] or 0)
+        # seen grows only at enqueue: cumulative seen-delta rows
+        self._seen_total += n_new
+        metrics["seen_size"] = self._seen_total
 
         self.store.commit_round(
             rnd,
-            next_frontier,
+            None,  # frontier already staged above
             seen_delta,
             None,  # items already written above
             new_served,
@@ -871,6 +899,7 @@ class CrawlEngine:
         frontier0 = dedup_in_batch(frontier0)
         # round 0 = seeding commit: enqueue marks seen immediately
         # (memory_scheduler.rs:40-46)
+        n_seeds = frontier0.count()
         self.store.commit_round(
             0,
             frontier0,
@@ -884,7 +913,9 @@ class CrawlEngine:
                 "items": 0,
                 "errors": invalid,
                 "retries": 0,
-                "new_urls": frontier0.count(),
+                "new_urls": n_seeds,
+                "frontier_size": n_seeds,
+                "seen_size": n_seeds,
             },
         )
         if self.bloom is not None:
@@ -1006,8 +1037,12 @@ class CrawlEngine:
         # waiting for an unpause nobody will send
         self._resume_event.clear()
         self._pause_requested = False
-        for m in self.store.load_metrics():
+        committed_metrics = self.store.load_metrics()
+        for m in committed_metrics:
             stats.record(m)
+        self._seen_total = sum(
+            int(m.get("new_urls", 0)) for m in committed_metrics
+        )
         last = self.store.latest_round()
         if last is None:
             raise RuntimeError("nothing to resume: no committed rounds")
@@ -1017,14 +1052,24 @@ class CrawlEngine:
         served = self.store.load_host_served(last) if last > 0 else None
         pages_served = stats.requests
         rnd = last
-        # frontier-size hint for the adaptive single-window budget rank:
-        # counted once, then tracked arithmetically (never undercounts —
-        # retired rows only shrink the real frontier below the hint)
+        # exact committed-frontier size, carried from metrics: each
+        # round's frontier write observes its own row count
+        # (frontier_size), so the loop never runs an isEmpty/count job
+        # against a frontier it just committed. None = unknown (store
+        # committed by a pre-frontier_size build) → fall back to probing.
+        last_m = committed_metrics[-1] if committed_metrics else None
+        fr_size = (
+            int(last_m["frontier_size"])
+            if last_m is not None and "frontier_size" in last_m
+            else None
+        )
+        # frontier-size hint for the adaptive single-window budget rank
+        # (exact when metrics carry it; never undercounts either way)
         fhint = None
         delay = max(self.settings.domain_delay_ms,
                     self.settings.download_delay_ms)
         if delay > 0 or self.settings.max_requests_per_domain is not None:
-            fhint = frontier.count()
+            fhint = fr_size if fr_size is not None else frontier.count()
         while rnd < max_rounds:
             if self._stop_requested:
                 break
@@ -1043,17 +1088,16 @@ class CrawlEngine:
                 and pages_served >= self.settings.page_limit
             ):
                 break
-            if frontier.isEmpty():
+            if fr_size == 0 or (fr_size is None and frontier.isEmpty()):
                 break
             committed = rnd + 1
             m = self._run_round(
                 committed, frontier, served, pages_served,
                 frontier_hint=fhint if fhint is not None else 1 << 62,
             )
+            fr_size = m["frontier_size"]
             if fhint is not None:
-                fhint = max(
-                    0, fhint - m["requests"] + m["new_urls"] + m["retries"]
-                )
+                fhint = fr_size
             stats.record(m)
             if self.signals is not None:
                 self.signals.emit_round(m)
@@ -1075,7 +1119,7 @@ class CrawlEngine:
                 # any row can serve instead of committing empty rounds
                 # (a Crawl-delay-30 host against a 10 s round would
                 # otherwise cost 2 empty commits per fetch)
-                if frontier.isEmpty():
+                if not fr_size:
                     break
                 nxt = F.greatest(
                     F.col("retry_not_before_round").cast("bigint"),

@@ -159,10 +159,20 @@ class CrawlStore:
                 os.path.join(self._round_dir(rnd), "items")
             )
 
+    def write_frontier(self, rnd: int, frontier: DataFrame) -> None:
+        """Stage a round's frontier ahead of commit_round (invisible to
+        readers until MANIFEST exists). Lets the engine resolve an
+        Observation attached to the frontier plan — committed frontier
+        size + new-URL count ride the write action — before sealing
+        metrics; pass frontier=None to commit_round afterwards."""
+        frontier.write.mode("overwrite").parquet(
+            os.path.join(self._round_dir(rnd), "frontier")
+        )
+
     def commit_round(
         self,
         rnd: int,
-        frontier: DataFrame,
+        frontier: DataFrame | None,
         seen_delta: DataFrame,
         items: DataFrame | None,
         host_served: DataFrame | None,
@@ -174,11 +184,15 @@ class CrawlStore:
         An interrupted write leaves no MANIFEST → the round is invisible
         to resume, exactly like an uncommitted Iceberg snapshot.
         clean=False preserves state already staged into the round dir
-        (begin_round + write_items)."""
+        (begin_round + write_items/write_frontier; frontier=None /
+        items=None mean "already staged")."""
         d = self._round_dir(rnd)
         if clean:
             self.begin_round(rnd)
-        frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        if frontier is not None:
+            frontier.write.mode("overwrite").parquet(
+                os.path.join(d, "frontier")
+            )
         if self.bucketed_seen:
             # append into the bucketed table, tagged with the round;
             # readers filter to committed rounds so this stays invisible
@@ -427,14 +441,15 @@ class CrawlStore:
             return self.spark.createDataFrame(
                 [], "round INT, requests BIGINT, responses BIGINT,"
                 " items BIGINT, errors BIGINT, retries BIGINT,"
-                " new_urls BIGINT"
+                " new_urls BIGINT, frontier_size BIGINT, seen_size BIGINT"
             )
         cols = ["round", "requests", "responses", "items", "errors",
-                "retries", "new_urls"]
+                "retries", "new_urls", "frontier_size", "seen_size"]
         return self.spark.createDataFrame(
             [tuple(m.get(c, 0) for c in cols) for m in rows],
             "round INT, requests BIGINT, responses BIGINT, items BIGINT,"
-            " errors BIGINT, retries BIGINT, new_urls BIGINT",
+            " errors BIGINT, retries BIGINT, new_urls BIGINT,"
+            " frontier_size BIGINT, seen_size BIGINT",
         )
 
     def load_metrics(self) -> list[dict]:
