@@ -533,8 +533,24 @@ def main() -> None:
         if key in result:
             block = result[key]
             if isinstance(block, dict):
+                # per-trial arrays stay in BENCH_local.json; the stdout
+                # line keeps only scalars (mins carry the signal)
                 block = {
-                    k: v for k, v in block.items() if k != "round_times"
+                    k: v
+                    for k, v in block.items()
+                    if k != "round_times" and not k.endswith("_seconds")
+                }
+                block = {
+                    k: (
+                        {
+                            kk: vv
+                            for kk, vv in v.items()
+                            if not kk.endswith("_seconds")
+                        }
+                        if isinstance(v, dict)
+                        else v
+                    )
+                    for k, v in block.items()
                 }
             compact[key] = block
     if "crawl_deep" in result:

@@ -108,10 +108,19 @@ class CrawlMonitor:
         n_rounds = max((m.get("round", 0) for m in rounds), default=0)
         responses = totals["responses"]
         requests = totals["requests"]
+        # point-in-time gauges from the latest committed round — the
+        # reference's pending_requests queue-depth gauge
+        # (monitoring/src/metrics.rs:19-20 via ResourceStats); rows
+        # committed by pre-frontier_size builds report None
+        last = rounds[-1] if rounds else {}
         return {
             "totals": totals,
             "rounds": n_rounds,
             "per_round": rounds,
+            "gauges": {
+                "pending_requests": last.get("frontier_size"),
+                "seen_size": last.get("seen_size"),
+            },
             "rates": {
                 # reference rates are per-second over wall clock; the
                 # committed store is wall-clock-free by design, so rates

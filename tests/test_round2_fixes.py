@@ -299,6 +299,11 @@ def test_monitoring_snapshot_and_http(spark, tmp_path):
     assert snap["totals"]["items"] == 1
     assert snap["totals"]["errors"] == 1
     assert 0 < snap["rates"]["success_rate"] <= 1
+    # queue-depth gauges from the latest committed round (reference
+    # pending_requests, monitoring/src/metrics.rs:19-20): the crawl
+    # finished, so the frontier is drained and seen holds both URLs
+    assert snap["gauges"]["pending_requests"] == 0
+    assert snap["gauges"]["seen_size"] == 2
     port = mon.serve()
     try:
         with urllib.request.urlopen(
