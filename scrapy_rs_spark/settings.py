@@ -102,12 +102,20 @@ class Settings:
 
     @classmethod
     def from_dict(cls, raw: dict) -> "Settings":
-        """Accept both reference UPPER_SNAKE keys and native field names."""
+        """Accept both reference UPPER_SNAKE keys and native field names.
+
+        Unit note: the reference's REQUEST_TIMEOUT is SECONDS (it feeds
+        DownloaderConfig.timeout, config_adapters.rs:43/76, default 30 s)
+        while the native field is request_timeout_ms — the reference key
+        is converted; the native key (request_timeout_ms /
+        REQUEST_TIMEOUT_MS) passes through untouched."""
         native = {f.name for f in fields(cls)}
         kwargs = {}
         for k, v in raw.items():
             key = cls._KEYMAP.get(k, k.lower() if k.lower() in native else None)
             if key:
+                if k == "REQUEST_TIMEOUT" and v is not None:
+                    v = int(v * 1000)
                 kwargs[key] = v
         return cls(**kwargs)
 
