@@ -37,6 +37,54 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
+# ---- module-level scaffold helpers (reference python wrapper parity:
+# python/src/scrapy_rs/__init__.py:275-302 exposes startproject /
+# genspider / list_spiders / version as plain functions delegating to
+# the CLI; same here, in-process instead of a subprocess) ----
+
+def startproject(name: str, directory: str | None = None) -> int:
+    """Create a new project scaffold (CLI `startproject` analogue)."""
+    from scrapy_rs_spark.__main__ import main
+
+    args = ["startproject", name]
+    if directory:
+        args += ["--directory", directory]
+    return main(args)
+
+
+def genspider(name: str, domain: str, template: str | None = None) -> int:
+    """Generate a spider in ./spiders (CLI `genspider` analogue)."""
+    from scrapy_rs_spark.__main__ import main
+
+    args = ["genspider", name, domain]
+    if template:
+        args += ["--template", template]
+    return main(args)
+
+
+def list_spiders() -> list[str]:
+    """Spider names under ./spiders (reference returns stdout lines;
+    here the actual names, [] outside a project dir)."""
+    import os
+
+    if not os.path.isdir("spiders"):
+        return []
+    return sorted(
+        stem
+        for fn in os.listdir("spiders")
+        for stem, ext in (os.path.splitext(fn),)
+        if ext == ".py" and stem != "__init__"
+    )
+
+
+def version() -> str:
+    """Version string (reference `version()` analogue)."""
+    return (
+        f"scrapy_rs_spark version {__version__}\n"
+        "A PySpark-native web-crawl and corpus-curation engine"
+    )
+
+
 __all__ = [
     "build_session",
     "Settings",
@@ -44,5 +92,9 @@ __all__ = [
     "run_crawl",
     "CrawlEngine",
     "CrawlMonitor",
+    "startproject",
+    "genspider",
+    "list_spiders",
+    "version",
 ]
 __version__ = "0.1.0"

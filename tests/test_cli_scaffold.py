@@ -185,3 +185,20 @@ def test_crawl_positional_spider_name(tmp_path, monkeypatch, capsys):
     missing spider errors without starting Spark."""
     monkeypatch.chdir(tmp_path)
     assert main(["crawl", "ghost", "--pages", "/x"]) == 1
+
+
+def test_module_level_scaffold_functions(tmp_path, monkeypatch):
+    """Reference python wrapper parity
+    (python/src/scrapy_rs/__init__.py:275-302): startproject /
+    genspider / list_spiders / version as module functions."""
+    import scrapy_rs_spark as srs
+
+    monkeypatch.chdir(tmp_path)
+    assert srs.startproject("proj") == 0
+    assert (tmp_path / "proj" / "proj" / "settings.py").exists()
+    assert srs.list_spiders() == []  # not in a project dir
+    monkeypatch.chdir(tmp_path / "proj" / "proj")
+    assert srs.genspider("alpha", "example.com") == 0
+    assert srs.genspider("beta", "example.org", template="custom") == 0
+    assert srs.list_spiders() == ["alpha", "beta"]
+    assert srs.__version__ in srs.version()
