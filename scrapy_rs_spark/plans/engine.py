@@ -92,6 +92,11 @@ class CrawlStats:
     retries: int = 0
     rounds: int = 0
     new_urls: int = 0
+    # wall-clock of the run()/resume() call that produced this object
+    # (stats/mod.rs:30-39 start/end times). Observational only — it
+    # never feeds dataflow identity/order, and it is NOT persisted
+    # (committed state stays wall-clock-free for deterministic resume).
+    duration_s: float = 0.0
     per_round: list[dict] = field(default_factory=list)
 
     def record(self, m: dict) -> None:
@@ -103,6 +108,17 @@ class CrawlStats:
         self.errors += m["errors"]
         self.retries += m["retries"]
         self.new_urls += m["new_urls"]
+
+    def duration(self) -> float:
+        """stats/mod.rs:41-44 analogue (seconds)."""
+        return self.duration_s
+
+    def requests_per_second(self) -> float | None:
+        """stats/mod.rs:46-50: request_count / duration; None before a
+        run or for a zero-length one, like the reference's Option."""
+        if self.duration_s <= 0:
+            return None
+        return self.requests / self.duration_s
 
 
 class CrawlEngine:
@@ -878,6 +894,9 @@ class CrawlEngine:
         seeds: list | DataFrame,
         max_rounds: int = 1_000,
     ) -> CrawlStats:
+        import time as _time
+
+        _t_run = _time.monotonic()
         s = self.settings
         # a store with committed rounds must be resumed, not re-seeded:
         # re-running run() would commit fresh seeds as round 0 while
@@ -929,7 +948,10 @@ class CrawlEngine:
                     .alias("bucket"),
                 )
             )
-        return self.resume(max_rounds=max_rounds)
+        stats = self.resume(max_rounds=max_rounds)
+        # run()'s duration includes the seeding commit above
+        stats.duration_s = _time.monotonic() - _t_run
+        return stats
 
     # ---- cooperative pause/stop (reference Notify gates,
     #      engine/src/lib.rs:1153-1193; signals engine_paused/resumed) ----
@@ -1028,6 +1050,9 @@ class CrawlEngine:
             SPIDER_OPENED,
         )
 
+        import time as _time
+
+        _t_start = _time.monotonic()
         stats = CrawlStats()
         # a prior stop() leaves the resume event set; a stale set event
         # would make the next pause() fall straight through. Likewise a
@@ -1173,6 +1198,7 @@ class CrawlEngine:
         self._emit(SPIDER_CLOSED, final)
         self._emit(ENGINE_STOPPED, final)
         self._stop_requested = False  # the store stays resumable
+        stats.duration_s = _time.monotonic() - _t_start
         return stats
 
     # convenience accessors

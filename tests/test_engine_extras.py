@@ -67,6 +67,13 @@ def test_metrics_df_rates(spark, tmp_path):
         store_path=str(tmp_path / "met"),
     )
     stats = eng.run([f"{BASE_URL}/0"])
+    # EngineStats duration/rate parity (stats/mod.rs:41-50):
+    # observational wall clock on the returned object, never persisted
+    assert stats.duration() > 0
+    assert stats.requests_per_second() == stats.requests / stats.duration_s
+    from scrapy_rs_spark.plans.engine import CrawlStats
+
+    assert CrawlStats().requests_per_second() is None
     mdf = eng.store.metrics_df()
     assert mdf.agg(F.sum("requests")).collect()[0][0] == stats.requests
     # A4: per-round delta via lag
