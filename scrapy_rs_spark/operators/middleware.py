@@ -178,6 +178,95 @@ def random_delay(max_delay_ms: int, seed: int = 0) -> Transform:
 
 # ---- item pipelines / sinks ----
 
+def log_pipeline(
+    level: str = "info",
+    spider_name: str = "spider",
+    executor_side: bool = True,
+    max_rows: int | None = None,
+    logger_name: str = "scrapy_rs_spark.items",
+) -> Transform:
+    """S8: per-item LogPipeline (pipeline/src/lib.rs:62-101 — logs
+    ``Spider '<name>' scraped item: <item>`` per processed item at the
+    configured level; LogPipeline::info()/debug() == level kwarg).
+
+    Two placements:
+
+    * executor_side=True (default, the scale-right one): an Arrow
+      mapInPandas pass-through that logs each item from the task that
+      produces it, INSIDE the items-write job — zero extra Spark jobs,
+      items never cross to the driver, and the log lines land in
+      executor logs exactly where a 1000-executor cluster wants
+      per-record diagnostics. ``max_rows`` caps lines PER TASK (a
+      global cap would need cross-task coordination).
+    * executor_side=False: exact reference behavior — the reference is
+      a single process, so its LogPipeline logs on the driver.
+      Restated as a toLocalIterator() stream (partition-at-a-time, the
+      driver never holds the whole item set) logging to the driver's
+      ``logging`` tree, with a ``max_rows`` global cap. This costs one
+      extra job and a driver-side scan — the documented 10^10
+      anti-pattern (SURVEY §2.9); use it for debugging small crawls,
+      per-round aggregates (A1-A4) for production telemetry.
+    """
+    import logging
+
+    lvl = logging.getLevelName(level.upper())
+    if not isinstance(lvl, int):
+        raise ValueError(f"unknown log level: {level!r}")
+
+    def _t(df: DataFrame) -> DataFrame:
+        if executor_side:
+            schema = df.schema
+
+            def _log_batches(batches):
+                import logging as _logging
+
+                logger = _logging.getLogger(logger_name)
+                n = 0
+                for pdf in batches:
+                    if max_rows is None or n < max_rows:
+                        for rec in pdf.to_dict("records"):
+                            if max_rows is not None and n >= max_rows:
+                                logger.log(
+                                    lvl,
+                                    "Spider '%s': item logs past"
+                                    " max_rows=%d suppressed (this task)",
+                                    spider_name,
+                                    max_rows,
+                                )
+                                break
+                            logger.log(
+                                lvl,
+                                "Spider '%s' scraped item: %r",
+                                spider_name,
+                                rec,
+                            )
+                            n += 1
+                    yield pdf
+
+            return df.mapInPandas(_log_batches, schema=schema)
+        logger = logging.getLogger(logger_name)
+        n = 0
+        for row in df.toLocalIterator():
+            if max_rows is not None and n >= max_rows:
+                logger.log(
+                    lvl,
+                    "Spider '%s': item logs past max_rows=%d suppressed",
+                    spider_name,
+                    max_rows,
+                )
+                break
+            logger.log(
+                lvl,
+                "Spider '%s' scraped item: %r",
+                spider_name,
+                row.asDict(recursive=True),
+            )
+            n += 1
+        return df
+
+    return _t
+
+
 def filter_pipeline(predicate: Column) -> Transform:
     """F8: drop items failing the predicate."""
     return lambda df: df.filter(predicate)

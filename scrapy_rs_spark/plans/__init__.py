@@ -1,3 +1,14 @@
 from scrapy_rs_spark.plans.engine import CrawlEngine, CrawlStats
+from scrapy_rs_spark.plans.resource_control import (
+    ResourceController,
+    ResourceLimits,
+    ResourceStats,
+)
 
-__all__ = ["CrawlEngine", "CrawlStats"]
+__all__ = [
+    "CrawlEngine",
+    "CrawlStats",
+    "ResourceController",
+    "ResourceLimits",
+    "ResourceStats",
+]

@@ -203,6 +203,27 @@ class CrawlEngine:
         # metrics at resume()
         self._seen_total: int = 0
         self._seen_cache_gen: int = -1
+        # T4: driver-side resource controller (engine/src/lib.rs:155-157
+        # creates one iff config.enable_resource_monitoring) — sampled
+        # and throttle-checked at round boundaries, where the loop can
+        # safely block (state is committed there)
+        self.resource_controller = None
+        if self.settings.enable_resource_monitoring:
+            from scrapy_rs_spark.plans.resource_control import (
+                ResourceController,
+                ResourceLimits,
+            )
+
+            self.resource_controller = ResourceController(
+                ResourceLimits(
+                    max_memory=self.settings.max_memory_bytes,
+                    max_cpu=self.settings.max_cpu_pct,
+                    max_pending_requests=self.settings.max_pending_requests,
+                    throttle_factor=self.settings.throttle_factor,
+                    monitor_interval_ms=self.settings.monitor_interval_ms,
+                ),
+                spark_context=spark.sparkContext,
+            )
         self.bloom = None
         if self.settings.use_bloom_sidecar:
             from scrapy_rs_spark.sources.bloom import BloomSidecar
@@ -1127,6 +1148,14 @@ class CrawlEngine:
             if self.signals is not None:
                 self.signals.emit_round(m)
             pages_served += m["requests"]
+            if self.resource_controller is not None:
+                # pending_requests = the frontier size this round just
+                # observed on its own write — zero extra Spark jobs,
+                # the scheduler.len() feed of lib.rs:1093-1103
+                self.resource_controller.update(
+                    pending_requests=fr_size if fr_size is not None else 0
+                )
+                self.resource_controller.throttle_if_needed()
             frontier = self.store.load_frontier(committed)
             if self.settings.max_requests_per_domain is not None:
                 served = self.store.load_host_served(committed)
@@ -1200,6 +1229,13 @@ class CrawlEngine:
         self._stop_requested = False  # the store stays resumable
         stats.duration_s = _time.monotonic() - _t_start
         return stats
+
+    def get_resource_stats(self):
+        """Current ResourceStats snapshot, or None when resource
+        monitoring is disabled (engine/src/lib.rs:1265-1272)."""
+        if self.resource_controller is None:
+            return None
+        return self.resource_controller.get_stats()
 
     # convenience accessors
     def items(self) -> DataFrame:

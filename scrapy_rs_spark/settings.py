@@ -69,6 +69,19 @@ class Settings:
     # wraps each spider/pipeline/middleware close hook in a 5 s timeout
     # so a hanging hook cannot hang crawl exit)
     close_timeout_ms: int = 5_000
+    # resource control (engine/src/resource_control.rs, enable flag
+    # engine/src/lib.rs:155-157): DRIVER-side limits sampled at round
+    # boundaries; 0 = no limit (the reference default). Executor
+    # memory/CPU stay delegated to the cluster manager + AQE (SURVEY
+    # §2.9) — these bound the driver process and the frontier backlog,
+    # the parts a Spark driver actually owns. See
+    # plans/resource_control.py.
+    enable_resource_monitoring: bool = False
+    max_memory_bytes: int = 0  # driver RSS limit
+    max_cpu_pct: float = 0.0  # driver CPU%% limit (100 = one core)
+    max_pending_requests: int = 0  # committed frontier-size limit
+    throttle_factor: float = 0.5  # boundary sleep = factor × interval
+    monitor_interval_ms: int = 1000
     # strict per-request wall-clock spacing (T1 fidelity mode): when on,
     # the fetch batch is paced executor-locally so one host's requests
     # are released >= effective_delay apart WITHIN a round, matching the
