@@ -53,6 +53,10 @@ class CrawlMonitor:
         self._event_seq = 0
         self._event_lock = threading.Lock()
         self._attached: list = []  # SignalManagers this monitor records
+        # optional ResourceController whose snapshot rides /metrics
+        # (reference Metrics.resource_stats Option<ResourceStatsDto>,
+        # monitoring/src/metrics.rs:11-40)
+        self._resources = None
 
     # ---- event history (lib.rs:99-105 event buffer + broadcast) ----
     def attach_signals(self, signals) -> None:
@@ -101,6 +105,13 @@ class CrawlMonitor:
         with self._event_lock:
             return list(self._events)
 
+    def attach_resources(self, controller) -> None:
+        """Surface a plans.resource_control.ResourceController's stats
+        in every snapshot (reference metrics.rs:11-40: resource_stats
+        is an Option — None until a controller is attached). Pass an
+        engine's ``resource_controller`` after construction."""
+        self._resources = controller
+
     # ---- snapshot (metrics.rs:94-137: totals + success/error rates) ----
     def snapshot(self) -> dict:
         rounds = self.store.load_metrics()
@@ -113,8 +124,20 @@ class CrawlMonitor:
         # (monitoring/src/metrics.rs:19-20 via ResourceStats); rows
         # committed by pre-frontier_size builds report None
         last = rounds[-1] if rounds else {}
+        resource_stats = None
+        if self._resources is not None:
+            st = self._resources.get_stats()
+            # the serializable DTO subset (metrics.rs:11-21) — the
+            # monotonic last_update timestamp stays internal
+            resource_stats = {
+                "memory_usage": st.memory_usage,
+                "cpu_usage": round(st.cpu_usage, 2),
+                "active_tasks": st.active_tasks,
+                "pending_requests": st.pending_requests,
+            }
         return {
             "totals": totals,
+            "resource_stats": resource_stats,
             "rounds": n_rounds,
             "per_round": rounds,
             "gauges": {

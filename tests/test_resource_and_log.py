@@ -248,3 +248,32 @@ def test_log_pipeline_in_crawl_executor_side(spark, pages, tmp_path):
     ref = base.run([f"{BASE_URL}/0"], max_rounds=8)
     assert (stats.requests, stats.items) == (ref.requests, ref.items)
     assert eng.items().count() == base.items().count()
+
+
+def test_monitor_surfaces_resource_stats(spark, pages, tmp_path):
+    """Reference Metrics.resource_stats is an Option (monitoring/src/
+    metrics.rs:11-40): None until a controller is attached; the DTO
+    subset afterwards."""
+    from scrapy_rs_spark.monitoring import CrawlMonitor
+
+    s = Settings(
+        max_depth=1,
+        respect_robots_txt=False,
+        enable_resource_monitoring=True,
+    )
+    eng = CrawlEngine(spark, pages, s, store_path=str(tmp_path / "mon"))
+    eng.run([f"{BASE_URL}/0"], max_rounds=4)
+    mon = CrawlMonitor(eng.store)
+    assert mon.snapshot()["resource_stats"] is None
+    mon.attach_resources(eng.resource_controller)
+    rs = mon.snapshot()["resource_stats"]
+    assert set(rs) == {
+        "memory_usage",
+        "cpu_usage",
+        "active_tasks",
+        "pending_requests",
+    }
+    assert rs["memory_usage"] > 0
+    import json
+
+    json.dumps(rs)  # DTO must be JSON-serializable for /metrics
