@@ -501,10 +501,14 @@ def main() -> None:
 
     # artifact handoff (round-5 verdict ask #2, attempt #3): the full
     # record (with per-round arrays) goes to BENCH_local.json; stdout
-    # gets a COMPACT summary line. The r3 AND r4 driver captures both
-    # truncated the FRONT of the ~4.6 KB full line — the driver's tail
-    # buffer is finite, so the printed line must stay small. Compact =
-    # headline metrics + per-query seconds, NO round_times arrays.
+    # gets a COMPACT summary line. The driver keeps only the LAST
+    # 2,000 BYTES of stdout (measured: len(tail)==2000 in every
+    # BENCH_r0{1..4}.json) and parses the final line — r1/r2 lines fit
+    # and parsed, r3/r4 (~2.2-4.6 KB) lost their FRONT and didn't. So
+    # the stdout line carries exactly the verdict-scoped summary
+    # (headline value, crawl, polite/sustained throughput, per-query
+    # seconds, scaling) and is hard-capped well under the buffer;
+    # everything else lives in the committed BENCH_local.json.
     steal1, total1 = _cpu_ticks()
     if steal0 is not None and steal1 is not None:
         dt = max(total1 - total0, 1)
@@ -520,48 +524,49 @@ def main() -> None:
             f.write(payload + "\n")
     except OSError:
         pass  # read-only checkout: stdout line is still the record
+    def _slim(block, keys):
+        if not isinstance(block, dict):
+            return block
+        return {k: block[k] for k in keys if k in block}
+
     compact = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": "sec",
         "sf": SF,
-        "host": result.get("host"),
         "queries": result["queries"],
-        "crawl": result["crawl"],
+        "crawl": _slim(
+            result["crawl"],
+            ("pages", "rounds", "seconds", "urls_per_sec", "master"),
+        ),
     }
-    for key in ("crawl_polite", "crawl_sustained", "seen_probe", "scaling"):
-        if key in result:
-            block = result[key]
-            if isinstance(block, dict):
-                # per-trial arrays stay in BENCH_local.json; the stdout
-                # line keeps only scalars (mins carry the signal)
-                block = {
-                    k: v
-                    for k, v in block.items()
-                    if k != "round_times" and not k.endswith("_seconds")
-                }
-                block = {
-                    k: (
-                        {
-                            kk: vv
-                            for kk, vv in v.items()
-                            if not kk.endswith("_seconds")
-                        }
-                        if isinstance(v, dict)
-                        else v
-                    )
-                    for k, v in block.items()
-                }
-            compact[key] = block
-    if "crawl_deep" in result:
-        compact["crawl_deep"] = {
-            k: {kk: vv for kk, vv in v.items() if kk != "round_times"}
-            for k, v in result["crawl_deep"].items()
-        }
+    if "crawl_polite" in result:
+        compact["crawl_polite"] = _slim(
+            result["crawl_polite"], ("rounds", "seconds", "urls_per_sec")
+        )
+    if "crawl_sustained" in result:
+        compact["crawl_sustained"] = _slim(
+            result["crawl_sustained"], ("pages", "seconds", "urls_per_sec")
+        )
+    if "scaling" in result:
+        compact["scaling"] = result["scaling"]
+    compact["host"] = _slim(
+        result.get("host") or {}, ("matmul5_s", "steal_pct")
+    )
     if "errors" in result:
-        compact["errors"] = result["errors"]
+        compact["errors"] = {
+            k: str(v)[:80] for k, v in result["errors"].items()
+        }
+    line = json.dumps(compact)
+    # hard cap: if future blocks grow the line toward the 2,000-byte
+    # tail buffer, shed the least essential keys before printing
+    for drop in ("host", "scaling", "errors"):
+        if len(line) <= 1800:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
     sys.stdout.flush()
-    print(json.dumps(compact), flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
