@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -806,6 +807,73 @@ def _q_crawl_bfs(spark, sf_dir):
     return seen
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC/WET ingestion correctness as a driver-gated round trip:
+    every document becomes a WET ``conversion`` record
+    (url http://warc.test/<doc_id>, WARC-Date epoch+doc_id, language
+    header), records pack into 64 multi-member-gzip segment blobs, and
+    the blobs are parsed back by the PRODUCTION streaming parser
+    (sources/warc.py::parse_warc_file — the same kernel under
+    read_warc). The reconstruction must equal the source table, so the
+    oracle is a plain SELECT over documents: any framing, charset,
+    gzip-member, or header regression becomes a driver hash mismatch.
+    The per-segment packing is the fixture generator (a correctness
+    harness, sized per-group ~N/64 docs); the 100-TB path is read_warc
+    over real archive files, one task per segment file."""
+    from scrapy_rs_spark.sources.warc import (
+        build_conversion_record,
+        gzip_member,
+        parse_warc_file,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        blob = b"".join(
+            gzip_member(
+                build_conversion_record(
+                    f"http://warc.test/{int(i)}",
+                    1735689600 + int(i),
+                    t,
+                    lang=l if isinstance(l, str) else None,
+                )
+            )
+            for i, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        )
+        return pd.DataFrame({"content": [blob]})
+
+    segments = (
+        docs.select(
+            "doc_id",
+            "text",
+            "lang",
+            F.pmod(F.col("doc_id"), F.lit(64)).alias("seg"),
+        )
+        .groupBy("seg")
+        .applyInPandas(_pack, schema="content binary")
+    )
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for r in parse_warc_file(
+                    "seg", bytes(content), frozenset({"conversion"})
+                ):
+                    rows.append(
+                        (r[0], int(r[1].timestamp()), r[7], r[6])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "ts_epoch", "lang", "text"]
+            )
+
+    return segments.mapInPandas(
+        _parse,
+        schema="url string, ts_epoch bigint, lang string, text string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -862,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
         "crawl_bfs": _q_crawl_bfs,
+        "warc_roundtrip": _q_warc_roundtrip,
     }
 
 
@@ -1233,4 +1302,10 @@ bfs(page_id, min_depth) AS (
 )
 SELECT page_id, CAST(MIN(min_depth) AS INT) AS min_depth
 FROM bfs GROUP BY page_id""",
+        "warc_roundtrip": """
+SELECT 'http://warc.test/' || CAST(doc_id AS VARCHAR) AS url,
+       1735689600 + doc_id AS ts_epoch,
+       lang,
+       text
+FROM documents""",
     }

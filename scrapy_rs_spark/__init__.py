@@ -34,6 +34,10 @@ def __getattr__(name):
         from scrapy_rs_spark.monitoring import CrawlMonitor
 
         return CrawlMonitor
+    if name in ("read_warc", "warc_to_pages", "pages_to_warc_records"):
+        from scrapy_rs_spark.sources import warc
+
+        return getattr(warc, name)
     raise AttributeError(name)
 
 
@@ -96,5 +100,8 @@ __all__ = [
     "genspider",
     "list_spiders",
     "version",
+    "read_warc",
+    "warc_to_pages",
+    "pages_to_warc_records",
 ]
 __version__ = "0.1.0"

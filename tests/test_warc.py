@@ -1,0 +1,214 @@
+"""WARC/WET ingestion: framing, round trips, and the replay crawl.
+
+The parser frames by Content-Length only — the adversarial case is a
+payload that *contains* ``WARC/1.0`` and blank lines, which a
+marker-splitting parser would shred. Serializer bytes are pinned
+deterministic (mtime=0) so the write→read loop is exact.
+"""
+
+import gzip
+
+import pytest
+
+from scrapy_rs_spark.sources.warc import (
+    build_conversion_record,
+    build_response_record,
+    gzip_member,
+    iter_warc_records,
+    parse_warc_file,
+    read_warc,
+    warc_to_pages,
+    pages_to_warc_records,
+    _open_stream,
+)
+
+EPOCH = 1735689600  # 2025-01-01T00:00:00Z, mocksite's warc_ts base
+
+ATTACK_BODY = (
+    b"<html><body>WARC/1.0\r\n\r\n"
+    b"WARC-Type: response\r\nContent-Length: 999999\r\n\r\n"
+    b"not a record boundary</body></html>"
+)
+
+
+def _segment(records, per_record_gzip=True):
+    if per_record_gzip:
+        return b"".join(gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+def test_roundtrip_response_records_plain_and_gzip(tmp_path):
+    recs = [
+        build_response_record(
+            f"http://warc.test/{i}", EPOCH + i, f"<p>page {i}</p>".encode()
+        )
+        for i in range(5)
+    ]
+    for name, blob in (
+        ("seg.warc", _segment(recs, per_record_gzip=False)),
+        ("seg.warc.gz", _segment(recs, per_record_gzip=True)),
+    ):
+        got = list(
+            iter_warc_records(_open_stream(blob))
+        )
+        assert len(got) == 5
+        for i, (hdrs, payload) in enumerate(got):
+            assert hdrs["WARC-Target-URI"] == f"http://warc.test/{i}"
+            assert hdrs["WARC-Type"] == "response"
+            assert payload.endswith(f"<p>page {i}</p>".encode())
+
+
+def test_content_length_framing_survives_embedded_markers():
+    recs = [
+        build_response_record("http://warc.test/a", EPOCH, ATTACK_BODY),
+        build_response_record("http://warc.test/b", EPOCH + 1, b"<p>ok</p>"),
+    ]
+    rows = list(
+        parse_warc_file(
+            "mem", _segment(recs, per_record_gzip=False), frozenset({"response"})
+        )
+    )
+    assert [r[0] for r in rows] == ["http://warc.test/a", "http://warc.test/b"]
+    assert rows[0][5] == ATTACK_BODY  # html byte-identical through framing
+    assert rows[0][3] == 200
+
+
+def test_truncated_payload_raises():
+    rec = build_response_record("http://warc.test/x", EPOCH, b"0123456789")
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc_records(_open_stream(rec[:-14])))
+
+
+def test_garbage_version_line_raises():
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(_open_stream(b"HELLO/9.9\r\n\r\n")))
+
+
+def test_read_warc_dataframe(spark, tmp_path):
+    """Two segment files (one gzip, one plain), mixed record types →
+    one DataFrame; filtering, typing, and source_file attribution."""
+    seg_a = _segment(
+        [
+            build_response_record(
+                f"http://warc.test/{i}",
+                EPOCH + i,
+                f"<h1>doc {i}</h1>".encode(),
+                status=200 + i,
+                http_headers={"X-Seg": "a"},
+            )
+            for i in range(3)
+        ]
+    )
+    seg_b = _segment(
+        [
+            build_conversion_record(
+                f"http://warc.test/wet/{i}", EPOCH + 100 + i,
+                f"text {i}", lang="en" if i % 2 == 0 else "de"
+            )
+            for i in range(4)
+        ],
+        per_record_gzip=False,
+    )
+    (tmp_path / "seg_a.warc.gz").write_bytes(seg_a)
+    (tmp_path / "seg_b.warc").write_bytes(seg_b)
+
+    df = read_warc(spark, str(tmp_path))
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 7
+    r0 = rows["http://warc.test/0"]
+    assert r0["warc_type"] == "response"
+    assert r0["status"] == 200
+    assert bytes(r0["html"]) == b"<h1>doc 0</h1>"
+    assert r0["headers"]["x-seg"] == "a"
+    assert r0["text"] is None
+    assert int(r0["warc_ts"].timestamp()) == EPOCH
+    assert r0["source_file"].endswith("seg_a.warc.gz")
+    w1 = rows["http://warc.test/wet/1"]
+    assert w1["warc_type"] == "conversion"
+    assert w1["text"] == "text 1"
+    assert w1["lang"] == "de"
+    assert w1["status"] is None
+    assert int(w1["warc_ts"].timestamp()) == EPOCH + 101
+
+    only_wet = read_warc(spark, str(tmp_path), record_types=("conversion",))
+    assert only_wet.count() == 4
+
+
+def test_read_warc_malformed_file_names_path(spark, tmp_path):
+    (tmp_path / "bad.warc").write_bytes(b"not a warc at all\r\n")
+    with pytest.raises(Exception, match="bad.warc"):
+        read_warc(spark, str(tmp_path)).collect()
+
+
+def test_replay_crawl_over_warc_pages(spark, tmp_path):
+    """End-to-end: archive a mocksite-shaped web as WARC response
+    records, ingest with read_warc → warc_to_pages, and BFS-crawl it.
+    Closed form for (i+k+1)%N links: depth≤2 from page 0 with 3
+    links/page over 40 pages visits {0} ∪ {1,2,3} ∪ {2..6} = 7 pages."""
+    from scrapy_rs_spark.api import Settings
+    from scrapy_rs_spark.plans.engine import CrawlEngine
+
+    n, k = 40, 3
+    recs = []
+    for i in range(n):
+        links = "".join(
+            f'<a href="/{(i + j + 1) % n}">l</a>' for j in range(k)
+        )
+        recs.append(
+            build_response_record(
+                f"http://mocksite.test/{i}",
+                EPOCH + i,
+                f"<html><body>{links}</body></html>".encode(),
+            )
+        )
+    # four segment files → four-way file parallelism
+    for f in range(4):
+        (tmp_path / f"part-{f}.warc.gz").write_bytes(
+            _segment(recs[f::4])
+        )
+
+    pages = warc_to_pages(read_warc(spark, str(tmp_path)))
+    eng = CrawlEngine(
+        spark,
+        pages,
+        Settings(scheduler_type="breadth_first", max_depth=2),
+        store_path=str(tmp_path / "store"),
+    )
+    stats = eng.run(["http://mocksite.test/0"])
+    assert stats.requests == 7
+    assert stats.items == 7
+    assert stats.errors == 0
+
+
+def test_pages_to_warc_records_roundtrip(spark):
+    """Export → re-ingest is identity on (url, ts, status, html)."""
+    from scrapy_rs_spark.sources.mocksite import mock_site_pages
+
+    pages = mock_site_pages(spark, page_count=6, links_per_page=2,
+                            golden_text=False)
+    recs = pages_to_warc_records(pages).collect()
+    assert len(recs) == 6
+    blob = b"".join(bytes(r["warc_record"]) for r in recs)
+    parsed = {
+        r[0]: r
+        for r in parse_warc_file("mem", blob, frozenset({"response"}))
+    }
+    src = {r["url"]: r for r in pages.collect()}
+    assert parsed.keys() == src.keys()
+    for url, row in parsed.items():
+        assert bytes(row[5]) == bytes(src[url]["html"])
+        assert row[3] == src[url]["status"]
+        assert int(row[1].timestamp()) == int(
+            src[url]["warc_ts"].timestamp()
+        )
+    # deterministic bytes: same pages → same records (mtime=0 members)
+    again = pages_to_warc_records(pages).collect()
+    assert {bytes(r["warc_record"]) for r in again} == {
+        bytes(r["warc_record"]) for r in recs
+    }
+
+
+def test_warc_date_roundtrip_is_utc():
+    rec = build_conversion_record("u", EPOCH + 86400 + 3661, "t")
+    (hdrs, _), = iter_warc_records(_open_stream(rec))
+    assert hdrs["WARC-Date"] == "2025-01-02T01:01:01Z"
