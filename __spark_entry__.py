@@ -874,6 +874,62 @@ def _q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def _q_sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion correctness, driver-gated: one urlset XML per
+    documents.source group is synthesized JVM-side (loc/lastmod/
+    priority all closed-form in doc_id), then parsed back by the
+    production extractor (sources/sitemap.py::sitemap_entries —
+    </url>-framed blocks + anchored regexp_extract, whole-stage
+    codegen). Reconstruction must equal the closed form the oracle
+    computes directly from documents."""
+    from scrapy_rs_spark.sources.sitemap import sitemap_entries
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    frag = F.concat(
+        F.lit("<url><loc>http://warc.test/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format(
+            F.date_add(
+                F.lit("2025-01-01").cast("date"),
+                F.pmod(F.col("doc_id"), F.lit(365)).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ),
+        F.lit("</lastmod><priority>0."),
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        docs.groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("doc_id"), frag.alias("f"))
+                        )
+                    ),
+                    lambda s: s["f"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            F.col("source").alias("url"),
+            F.concat(
+                F.lit("<urlset>"), F.col("body"), F.lit("</urlset>")
+            ).cast("binary").alias("html"),
+        )
+    )
+    return sitemap_entries(sitemaps).select(
+        F.col("sitemap_url").alias("source"),
+        "loc",
+        "lastmod",
+        "priority",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -931,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "crawl_bfs": _q_crawl_bfs,
         "warc_roundtrip": _q_warc_roundtrip,
+        "sitemap_extract": _q_sitemap_extract,
     }
 
 
@@ -1307,5 +1364,12 @@ SELECT 'http://warc.test/' || CAST(doc_id AS VARCHAR) AS url,
        1735689600 + doc_id AS ts_epoch,
        lang,
        text
+FROM documents""",
+        "sitemap_extract": """
+SELECT source,
+       'http://warc.test/' || CAST(doc_id AS VARCHAR) AS loc,
+       CAST(DATE '2025-01-01' + CAST(doc_id % 365 AS INTEGER) AS VARCHAR)
+         AS lastmod,
+       '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
 FROM documents""",
     }

@@ -38,6 +38,15 @@ def __getattr__(name):
         from scrapy_rs_spark.sources import warc
 
         return getattr(warc, name)
+    if name in (
+        "robots_sitemaps",
+        "sitemap_entries",
+        "sitemap_index_entries",
+        "sitemap_seeds",
+    ):
+        from scrapy_rs_spark.sources import sitemap
+
+        return getattr(sitemap, name)
     raise AttributeError(name)
 
 
@@ -103,5 +112,9 @@ __all__ = [
     "read_warc",
     "warc_to_pages",
     "pages_to_warc_records",
+    "robots_sitemaps",
+    "sitemap_entries",
+    "sitemap_index_entries",
+    "sitemap_seeds",
 ]
 __version__ = "0.1.0"

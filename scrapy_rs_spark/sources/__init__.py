@@ -6,6 +6,12 @@ from scrapy_rs_spark.sources.warc import (
     warc_to_pages,
     pages_to_warc_records,
 )
+from scrapy_rs_spark.sources.sitemap import (
+    robots_sitemaps,
+    sitemap_entries,
+    sitemap_index_entries,
+    sitemap_seeds,
+)
 
 __all__ = [
     "mock_site_pages",
@@ -15,4 +21,8 @@ __all__ = [
     "read_warc",
     "warc_to_pages",
     "pages_to_warc_records",
+    "robots_sitemaps",
+    "sitemap_entries",
+    "sitemap_index_entries",
+    "sitemap_seeds",
 ]
