@@ -930,6 +930,37 @@ def _q_sitemap_extract(spark, sf_dir):
     )
 
 
+def _q_recrawl_schedule(spark, sf_dir):
+    """Freshness scheduling, driver-gated: a synthetic observation
+    history closed-form in doc_id (doc d observed at rounds 0..d%5,
+    hash stable within epochs of length 1+d%3) runs through the
+    production operator (operators/recrawl.py::recrawl_schedule: lag
+    window + partial agg, all-integer contract); the oracle recomputes
+    the same schedule with DuckDB window functions."""
+    from scrapy_rs_spark.operators.recrawl import recrawl_schedule
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    hist = (
+        docs.select(
+            F.concat(
+                F.lit("http://warc.test/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.explode(
+                F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(5)))
+            ).alias("round"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).alias("__e"),
+        )
+        .select(
+            "url",
+            F.col("round").cast("long").alias("round"),
+            F.floor(F.col("round") / F.col("__e"))
+            .cast("string")
+            .alias("content_hash"),
+        )
+    )
+    return recrawl_schedule(hist, current_round=10, max_interval=16)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -988,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs": _q_crawl_bfs,
         "warc_roundtrip": _q_warc_roundtrip,
         "sitemap_extract": _q_sitemap_extract,
+        "recrawl_schedule": _q_recrawl_schedule,
     }
 
 
@@ -1372,4 +1404,39 @@ SELECT source,
          AS lastmod,
        '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
 FROM documents""",
+        "recrawl_schedule": """
+WITH hist AS (
+  SELECT 'http://warc.test/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(g.r AS BIGINT) AS round,
+         CAST(CAST(FLOOR(g.r / (doc_id % 3 + 1)) AS BIGINT) AS VARCHAR)
+           AS content_hash
+  FROM documents, (SELECT unnest(range(0, 5)) AS r) g
+  WHERE g.r <= doc_id % 5
+),
+lagged AS (
+  SELECT url, round, content_hash,
+         LAG(content_hash) OVER (PARTITION BY url ORDER BY round) AS prev
+  FROM hist
+),
+per AS (
+  SELECT url,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND content_hash <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(MAX(round) AS BIGINT) AS last_seen
+  FROM lagged GROUP BY url
+),
+sched AS (
+  SELECT url, n_obs, n_changes, last_seen,
+         CAST(10 - last_seen AS BIGINT) AS age,
+         CAST(CASE WHEN n_changes > 0
+                   THEN CEIL((n_obs - 1) / n_changes)
+                   ELSE 16 END AS BIGINT) AS revisit_interval
+  FROM per
+)
+SELECT url, n_obs, n_changes, last_seen, age, revisit_interval,
+       last_seen + revisit_interval AS next_due,
+       CAST(CASE WHEN last_seen + revisit_interval <= 10
+                 THEN 1 ELSE 0 END AS INTEGER) AS due
+FROM sched""",
     }

@@ -15,6 +15,7 @@ from scrapy_rs_spark.operators.fetch import (
     split_fetched,
     strict_spacing,
 )
+from scrapy_rs_spark.operators.recrawl import recrawl_schedule
 from scrapy_rs_spark.operators.textdedup import (
     dedup_clusters,
     exact_dedup,
@@ -25,6 +26,7 @@ from scrapy_rs_spark.operators.textdedup import (
 )
 
 __all__ = [
+    "recrawl_schedule",
     "dedup_clusters",
     "exact_dedup",
     "lsh_candidate_pairs",
