@@ -961,6 +961,41 @@ def _q_recrawl_schedule(spark, sf_dir):
     return recrawl_schedule(hist, current_round=10, max_interval=16)
 
 
+def _q_backlink_priority(spark, sf_dir):
+    """Link-analysis frontier priority, driver-gated: a skewed
+    closed-form link graph (doc d links to d%97 and d%13 — hub nodes
+    collect hundreds of in-links, most nodes none) runs through the
+    production in-degree operator (operators/linkrank.py::
+    backlink_priority, one partial agg); oracle recomputes the counts
+    directly. PageRank's float scores are pytest-pinned instead
+    (double aggregation is reduction-order-dependent — a cross-engine
+    hash would be a flaky gate; see linkrank.py docstring)."""
+    from scrapy_rs_spark.operators.linkrank import backlink_priority
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    edges = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(
+                F.array(
+                    F.pmod(F.col("doc_id"), F.lit(97)),
+                    F.pmod(F.col("doc_id"), F.lit(13)),
+                )
+            ).alias("__t"),
+        )
+        .select(
+            F.concat(
+                F.lit("http://warc.test/"), F.col("doc_id").cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("http://warc.test/"), F.col("__t").cast("string")
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    return backlink_priority(edges)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1020,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "sitemap_extract": _q_sitemap_extract,
         "recrawl_schedule": _q_recrawl_schedule,
+        "backlink_priority": _q_backlink_priority,
     }
 
 
@@ -1439,4 +1475,13 @@ SELECT url, n_obs, n_changes, last_seen, age, revisit_interval,
        CAST(CASE WHEN last_seen + revisit_interval <= 10
                  THEN 1 ELSE 0 END AS INTEGER) AS due
 FROM sched""",
+        "backlink_priority": """
+WITH e AS (
+  SELECT DISTINCT
+         'http://warc.test/' || CAST(doc_id AS VARCHAR) AS src,
+         'http://warc.test/' || CAST(doc_id % m.k AS VARCHAR) AS dst
+  FROM documents, (VALUES (97), (13)) m(k)
+)
+SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS backlinks
+FROM e GROUP BY dst""",
     }

@@ -15,6 +15,11 @@ from scrapy_rs_spark.operators.fetch import (
     split_fetched,
     strict_spacing,
 )
+from scrapy_rs_spark.operators.linkrank import (
+    backlink_priority,
+    link_graph,
+    pagerank,
+)
 from scrapy_rs_spark.operators.recrawl import recrawl_schedule
 from scrapy_rs_spark.operators.textdedup import (
     dedup_clusters,
@@ -26,6 +31,9 @@ from scrapy_rs_spark.operators.textdedup import (
 )
 
 __all__ = [
+    "backlink_priority",
+    "link_graph",
+    "pagerank",
     "recrawl_schedule",
     "dedup_clusters",
     "exact_dedup",
