@@ -559,12 +559,30 @@ def main() -> None:
         }
     line = json.dumps(compact)
     # hard cap: if future blocks grow the line toward the 2,000-byte
-    # tail buffer, shed the least essential keys before printing
+    # tail buffer, shed the least essential keys before printing —
+    # and since `queries` is the only block that actually grows
+    # (~28 bytes per driver query), degrade it too: first round its
+    # values to 2 decimals, then drop it outright (with a count left
+    # behind) rather than ever printing an over-budget line
     for drop in ("host", "scaling", "errors"):
         if len(line) <= 1800:
             break
         compact.pop(drop, None)
         line = json.dumps(compact)
+    if len(line) > 1800:
+        compact["queries"] = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact)
+    if len(line) > 1800:
+        compact["queries_omitted"] = len(compact.pop("queries"))
+        line = json.dumps(compact)
+        print(
+            "bench: stdout line exceeded budget; per-query times are "
+            "only in BENCH_local.json",
+            file=sys.stderr,
+        )
     sys.stdout.flush()
     print(line, flush=True)
 

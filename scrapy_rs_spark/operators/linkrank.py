@@ -83,9 +83,13 @@ def pagerank(
     same per-round job shape as the crawl loop itself. Node count is
     collected ONCE (a scalar); the rank frame is localCheckpoint'd per
     round so the plan never accretes."""
+    # cut the edge-derivation lineage ONCE: each iteration runs two
+    # actions (dangling-mass agg + eager checkpoint of new ranks) and
+    # both join e/out_deg — without this, link_graph's extraction UDFs
+    # and distinct-shuffle would re-execute every round
     e = edges.select(
         F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("url"))
         .unionByName(e.select(F.col("dst").alias("url")))
@@ -95,7 +99,11 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("__deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(int(iterations)):

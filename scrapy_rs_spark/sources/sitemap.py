@@ -112,6 +112,7 @@ def sitemap_seeds(
     max_hops: int = 2,
     url_col: str = "url",
     html_col: str = "html",
+    on_exhausted: str = "raise",
 ) -> DataFrame:
     """Walk sitemap URLs (column ``sitemap_url``, e.g. from
     robots_sitemaps) through up to ``max_hops`` levels of sitemapindex
@@ -125,7 +126,10 @@ def sitemap_seeds(
     extraction — a missing sitemap page simply contributes nothing
     (archive replay may not hold every child). Emptiness of the next
     hop rides a take(1) on the (small) index-entry frame, not the
-    corpus."""
+    corpus. If index nesting is still unexpanded when the hop budget
+    runs out, silently dropping those subtrees would be seed loss —
+    the default ``on_exhausted='raise'`` fails loudly (raise
+    ``max_hops`` or pass ``'warn'`` to keep the partial seed set)."""
     src = pages.select(
         F.col(url_col).alias("__p_url"), F.col(html_col).alias("__p_html")
     )
@@ -133,6 +137,7 @@ def sitemap_seeds(
         F.col("sitemap_url").alias("__s_url")
     ).distinct()
     out: DataFrame | None = None
+    pending = False
     for _ in range(max_hops + 1):
         fetched = frontier.join(
             src, frontier["__s_url"] == src["__p_url"]
@@ -150,7 +155,20 @@ def sitemap_seeds(
         nxt = sitemap_index_entries(
             fetched.filter(is_sitemap_index("html"))
         ).select(F.col("loc").alias("__s_url")).distinct()
-        if not nxt.take(1):
+        pending = bool(nxt.take(1))
+        if not pending:
             break
         frontier = nxt
+    if pending:
+        msg = (
+            f"sitemap index nesting exceeds max_hops={max_hops}: "
+            "unexpanded child sitemaps remain, so the seed set would be "
+            "silently incomplete — raise max_hops, or pass "
+            "on_exhausted='warn' to accept the partial set"
+        )
+        if on_exhausted == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning)
     return out.distinct()

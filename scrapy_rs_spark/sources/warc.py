@@ -160,7 +160,12 @@ def iter_warc_records(
     """Yield (warc_headers, payload) per record. Content-Length framing
     only; raises ValueError on a malformed version line or truncated
     payload (framing is lost at that point — fail loudly rather than
-    resynchronize on payload bytes that may themselves say WARC/1.0)."""
+    resynchronize on payload bytes that may themselves say WARC/1.0).
+
+    Header FIELD NAMES are case-insensitive per ISO 28500 §4 and
+    real-world tools do emit variants — keys come back LOWERCASED
+    ('warc-type', 'content-length', ...) so lookups never silently
+    miss a spec-legal spelling."""
     while True:
         line = stream.readline()
         if not line:
@@ -177,9 +182,9 @@ def iter_warc_records(
             if h in (b"\r\n", b"\n", b""):
                 break
             k, _, v = h.decode("utf-8", "replace").partition(":")
-            headers[k.strip()] = v.strip()
+            headers[k.strip().lower()] = v.strip()
         try:
-            length = int(headers["Content-Length"])
+            length = int(headers["content-length"])
         except (KeyError, ValueError) as e:
             raise ValueError(f"record missing Content-Length: {e}") from e
         payload = stream.read(length)
@@ -232,16 +237,16 @@ def parse_warc_file(
     shared kernel under read_warc AND the warc_roundtrip driver query,
     so the hash-gated path is the production parser, not a replica."""
     for headers, payload in iter_warc_records(_open_stream(content)):
-        wtype = headers.get("WARC-Type", "")
+        wtype = headers.get("warc-type", "").lower()
         if record_types and wtype not in record_types:
             continue
-        url = headers.get("WARC-Target-URI")
-        ts = _parse_warc_date(headers.get("WARC-Date"))
+        url = headers.get("warc-target-uri")
+        ts = _parse_warc_date(headers.get("warc-date"))
         if wtype == "response":
             status, hh, body = _parse_http_payload(payload)
             yield (url, ts, wtype, status, hh, body, None, None, source_file)
         else:  # conversion / resource: payload is the document itself
-            lang = headers.get("WARC-Identified-Content-Language")
+            lang = headers.get("warc-identified-content-language")
             yield (
                 url,
                 ts,
@@ -342,6 +347,13 @@ def pages_to_warc_records(
     from pyspark.sql.functions import pandas_udf
 
     do_zip = compress
+    # Arrow hands timestamp columns to pandas UDFs as tz-NAIVE values
+    # in the SESSION timezone; a naive Timestamp.timestamp() assumes
+    # UTC. Capture the session tz here so exported WARC-Dates are the
+    # true instants even when the caller's session is not UTC.
+    session_tz = pages.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
 
     @pandas_udf("binary")
     def _rec(
@@ -349,9 +361,15 @@ def pages_to_warc_records(
     ) -> pd.Series:
         out = []
         for u, t, h, s in zip(url, ts, html, status):
+            if pd.isna(t):
+                epoch = 0
+            else:
+                if t.tzinfo is None:
+                    t = t.tz_localize(session_tz)
+                epoch = int(t.timestamp())
             rec = build_response_record(
                 u,
-                0 if pd.isna(t) else int(t.timestamp()),
+                epoch,
                 b"" if h is None else bytes(h),
                 200 if pd.isna(s) else int(s),
             )

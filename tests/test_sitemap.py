@@ -166,3 +166,36 @@ def test_crawl_seeded_from_sitemap(spark, tmp_path):
     assert stats.requests == 3
     assert stats.items == 3
     assert stats.errors == 0
+
+
+def test_deep_nesting_exceeding_hops_is_loud(spark):
+    """Index nesting deeper than max_hops must not silently drop
+    subtrees: default raises; on_exhausted='warn' keeps the partial
+    set with a RuntimeWarning."""
+    import pytest
+
+    deep_index = (
+        b"<sitemapindex><sitemap>"
+        b"<loc>http://site.test/sitemap-index.xml</loc>"
+        b"</sitemap></sitemapindex>"
+    )  # index → itself: inexhaustible nesting
+    leaf = b"<urlset><url><loc>http://site.test/0</loc></url></urlset>"
+    pages = _pages(
+        spark,
+        [
+            ("http://site.test/sitemap-index.xml", deep_index),
+            ("http://site.test/leaf.xml", leaf),
+        ],
+    )
+    sm = spark.createDataFrame(
+        [
+            ("http://site.test/sitemap-index.xml",),
+            ("http://site.test/leaf.xml",),
+        ],
+        "sitemap_url string",
+    )
+    with pytest.raises(RuntimeError, match="max_hops"):
+        sitemap_seeds(sm, pages, max_hops=1)
+    with pytest.warns(RuntimeWarning, match="max_hops"):
+        seeds = sitemap_seeds(sm, pages, max_hops=1, on_exhausted="warn")
+        assert [r["url"] for r in seeds.collect()] == ["http://site.test/0"]

@@ -53,8 +53,8 @@ def test_roundtrip_response_records_plain_and_gzip(tmp_path):
         )
         assert len(got) == 5
         for i, (hdrs, payload) in enumerate(got):
-            assert hdrs["WARC-Target-URI"] == f"http://warc.test/{i}"
-            assert hdrs["WARC-Type"] == "response"
+            assert hdrs["warc-target-uri"] == f"http://warc.test/{i}"
+            assert hdrs["warc-type"] == "response"
             assert payload.endswith(f"<p>page {i}</p>".encode())
 
 
@@ -211,4 +211,24 @@ def test_pages_to_warc_records_roundtrip(spark):
 def test_warc_date_roundtrip_is_utc():
     rec = build_conversion_record("u", EPOCH + 86400 + 3661, "t")
     (hdrs, _), = iter_warc_records(_open_stream(rec))
-    assert hdrs["WARC-Date"] == "2025-01-02T01:01:01Z"
+    assert hdrs["warc-date"] == "2025-01-02T01:01:01Z"
+
+
+def test_header_field_names_case_insensitive():
+    """ISO 28500 header names are case-insensitive; spec-legal
+    lowercase/mixed-case spellings must not cause silent record loss
+    (or a bogus missing-Content-Length error)."""
+    rec = (
+        b"WARC/1.0\r\n"
+        b"warc-type: Response\r\n"
+        b"Warc-Target-Uri: http://warc.test/lc\r\n"
+        b"WARC-DATE: 2025-01-01T00:00:00Z\r\n"
+        b"content-length: 24\r\n"
+        b"\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nhi!\r\n\r\n"
+    )
+    rows = list(parse_warc_file("mem", rec, frozenset({"response"})))
+    assert len(rows) == 1
+    assert rows[0][0] == "http://warc.test/lc"
+    assert rows[0][3] == 200
+    assert int(rows[0][1].timestamp()) == EPOCH
