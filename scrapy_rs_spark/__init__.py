@@ -34,7 +34,13 @@ def __getattr__(name):
         from scrapy_rs_spark.monitoring import CrawlMonitor
 
         return CrawlMonitor
-    if name in ("read_warc", "warc_to_pages", "pages_to_warc_records"):
+    if name in (
+        "read_warc",
+        "warc_to_pages",
+        "pages_to_warc_records",
+        "cdx_index",
+        "fetch_cdx_record",
+    ):
         from scrapy_rs_spark.sources import warc
 
         return getattr(warc, name)
@@ -112,6 +118,8 @@ __all__ = [
     "read_warc",
     "warc_to_pages",
     "pages_to_warc_records",
+    "cdx_index",
+    "fetch_cdx_record",
     "robots_sitemaps",
     "sitemap_entries",
     "sitemap_index_entries",

@@ -5,6 +5,8 @@ from scrapy_rs_spark.sources.warc import (
     read_warc,
     warc_to_pages,
     pages_to_warc_records,
+    cdx_index,
+    fetch_cdx_record,
 )
 from scrapy_rs_spark.sources.sitemap import (
     robots_sitemaps,
@@ -21,6 +23,8 @@ __all__ = [
     "read_warc",
     "warc_to_pages",
     "pages_to_warc_records",
+    "cdx_index",
+    "fetch_cdx_record",
     "robots_sitemaps",
     "sitemap_entries",
     "sitemap_index_entries",

@@ -154,19 +154,14 @@ def _open_stream(content: bytes) -> io.BufferedIOBase:
     return io.BytesIO(content)
 
 
-def iter_warc_records(
+def _iter_records_at(
     stream: io.BufferedIOBase,
-) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Yield (warc_headers, payload) per record. Content-Length framing
-    only; raises ValueError on a malformed version line or truncated
-    payload (framing is lost at that point — fail loudly rather than
-    resynchronize on payload bytes that may themselves say WARC/1.0).
-
-    Header FIELD NAMES are case-insensitive per ISO 28500 §4 and
-    real-world tools do emit variants — keys come back LOWERCASED
-    ('warc-type', 'content-length', ...) so lookups never silently
-    miss a spec-legal spelling."""
+) -> Iterator[tuple[int, dict[str, str], bytes]]:
+    """(start_offset, warc_headers, payload) per record — the framing
+    kernel; start_offset is the stream position of the version line
+    (CDX indexing needs it; plain consumers drop it)."""
     while True:
+        start = stream.tell()
         line = stream.readline()
         if not line:
             return
@@ -192,7 +187,46 @@ def iter_warc_records(
             raise ValueError(
                 f"truncated payload: wanted {length}, got {len(payload)}"
             )
+        yield start, headers, payload
+
+
+def iter_warc_records(
+    stream: io.BufferedIOBase,
+) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (warc_headers, payload) per record. Content-Length framing
+    only; raises ValueError on a malformed version line or truncated
+    payload (framing is lost at that point — fail loudly rather than
+    resynchronize on payload bytes that may themselves say WARC/1.0).
+
+    Header FIELD NAMES are case-insensitive per ISO 28500 §4 and
+    real-world tools do emit variants — keys come back LOWERCASED
+    ('warc-type', 'content-length', ...) so lookups never silently
+    miss a spec-legal spelling."""
+    for _, headers, payload in _iter_records_at(stream):
         yield headers, payload
+
+
+def iter_gzip_members(content: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, compressed_length, decompressed_bytes) per gzip member
+    of a multi-member stream — the unit Common Crawl's CDX offsets
+    address (one record per member in CC segments). Chunked feeding so
+    a member's decompression never copies the whole remaining file."""
+    import zlib
+
+    pos, n = 0, len(content)
+    while pos < n:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out = bytearray()
+        p = pos
+        while not d.eof and p < n:
+            chunk = content[p : p + (1 << 20)]
+            out += d.decompress(chunk)
+            p += len(chunk)
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        consumed = (p - pos) - len(d.unused_data)
+        yield pos, consumed, bytes(out)
+        pos += consumed
 
 
 def _parse_http_payload(
@@ -306,6 +340,107 @@ def read_warc(
                     yield _rows_to_pdf(rows)
 
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+#: output contract of :func:`cdx_index`
+CDX_SCHEMA = (
+    "url string, warc_ts timestamp, warc_type string, "
+    "source_file string, offset bigint, length bigint"
+)
+
+
+def cdx_index(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    batch_rows: int = 2048,
+) -> DataFrame:
+    """CDX-style random-access index over segment files: one row per
+    record with the (offset, length) needed to fetch JUST that record
+    later — the Common-Crawl index artifact (their cdx/cluster.idx),
+    which is how a pipeline re-reads selected pages without rescanning
+    petabytes of segments.
+
+    Offset semantics follow the CC convention: for ``.warc.gz``
+    segments (per-record gzip members) they address the COMPRESSED
+    member; for plain ``.warc`` they address raw record bytes
+    (version line through end of record). Either slice feeds
+    :func:`fetch_cdx_record` unchanged. Same scale shape as read_warc:
+    one task per file, bounded batches."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+
+    def _index_one(source_file: str, content: bytes):
+        if content[:2] == b"\x1f\x8b":
+            for off, clen, data in iter_gzip_members(content):
+                for _, headers, _p in _iter_records_at(io.BytesIO(data)):
+                    yield (
+                        headers.get("warc-target-uri"),
+                        _parse_warc_date(headers.get("warc-date")),
+                        headers.get("warc-type", "").lower(),
+                        source_file,
+                        off,
+                        clen,
+                    )
+        else:
+            recs = list(_iter_records_at(io.BytesIO(content)))
+            for i, (start, headers, _p) in enumerate(recs):
+                end = (
+                    recs[i + 1][0] if i + 1 < len(recs) else len(content)
+                )
+                yield (
+                    headers.get("warc-target-uri"),
+                    _parse_warc_date(headers.get("warc-date")),
+                    headers.get("warc-type", "").lower(),
+                    source_file,
+                    start,
+                    end - start,
+                )
+
+    cols = ["url", "warc_ts", "warc_type", "source_file", "offset", "length"]
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for source_file, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for row in _index_one(source_file, bytes(content)):
+                        rows.append(row)
+                        if len(rows) >= batch_rows:
+                            yield _cdx_pdf(rows, cols)
+                            rows = []
+                except ValueError as e:
+                    raise ValueError(f"{source_file}: {e}") from e
+            if rows:
+                yield _cdx_pdf(rows, cols)
+
+    return files.mapInPandas(parse, schema=CDX_SCHEMA)
+
+
+def _cdx_pdf(rows: list[tuple], cols: list[str]):
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True)
+    return pdf
+
+
+def fetch_cdx_record(
+    source_file: str, offset: int, length: int
+) -> list[tuple]:
+    """Random access: read ONLY the indexed byte range of a segment
+    file and parse the record(s) in it — rows in read_warc's column
+    order. `source_file` accepts a plain path or the file: URI
+    binaryFile puts in the index."""
+    p = source_file
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+    with open(p, "rb") as f:
+        f.seek(int(offset))
+        blob = f.read(int(length))
+    return list(parse_warc_file(source_file, blob, frozenset()))
 
 
 # ---------------------------------------------------------------------------

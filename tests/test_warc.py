@@ -232,3 +232,49 @@ def test_header_field_names_case_insensitive():
     assert rows[0][0] == "http://warc.test/lc"
     assert rows[0][3] == 200
     assert int(rows[0][1].timestamp()) == EPOCH
+
+
+def test_cdx_index_and_random_access(spark, tmp_path):
+    """CDX rows point at fetchable slices: every indexed (offset,
+    length) re-reads to exactly the record it indexes, for both
+    per-member-gzip and plain segments."""
+    from scrapy_rs_spark.sources.warc import cdx_index, fetch_cdx_record
+
+    recs = [
+        build_response_record(
+            f"http://warc.test/{i}", EPOCH + i, f"<h1>{i}</h1>".encode()
+        )
+        for i in range(6)
+    ]
+    (tmp_path / "seg.warc.gz").write_bytes(_segment(recs[:3]))
+    (tmp_path / "seg.warc").write_bytes(
+        _segment(recs[3:], per_record_gzip=False)
+    )
+
+    idx = cdx_index(spark, str(tmp_path)).collect()
+    assert len(idx) == 6
+    by_url = {r["url"]: r for r in idx}
+    for i in range(6):
+        row = by_url[f"http://warc.test/{i}"]
+        assert row["warc_type"] == "response"
+        assert int(row["warc_ts"].timestamp()) == EPOCH + i
+        got = fetch_cdx_record(
+            row["source_file"], row["offset"], row["length"]
+        )
+        assert len(got) == 1
+        assert got[0][0] == f"http://warc.test/{i}"
+        assert bytes(got[0][5]) == f"<h1>{i}</h1>".encode()
+    # gzip offsets are member offsets: distinct and increasing
+    gz = sorted(
+        r["offset"] for r in idx if r["source_file"].endswith(".warc.gz")
+    )
+    assert gz[0] == 0 and len(set(gz)) == 3
+    # plain offsets slice the raw file: first record starts at byte 0
+    plain = sorted(
+        (r["offset"], r["length"])
+        for r in idx
+        if r["source_file"].endswith("seg.warc")
+    )
+    assert plain[0][0] == 0
+    raw = (tmp_path / "seg.warc").read_bytes()
+    assert sum(l for _, l in plain) == len(raw)
