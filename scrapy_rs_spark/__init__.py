@@ -40,6 +40,7 @@ def __getattr__(name):
         "pages_to_warc_records",
         "cdx_index",
         "fetch_cdx_record",
+        "stream_warc",
     ):
         from scrapy_rs_spark.sources import warc
 
@@ -120,6 +121,7 @@ __all__ = [
     "pages_to_warc_records",
     "cdx_index",
     "fetch_cdx_record",
+    "stream_warc",
     "robots_sitemaps",
     "sitemap_entries",
     "sitemap_index_entries",

@@ -7,6 +7,7 @@ from scrapy_rs_spark.sources.warc import (
     pages_to_warc_records,
     cdx_index,
     fetch_cdx_record,
+    stream_warc,
 )
 from scrapy_rs_spark.sources.sitemap import (
     robots_sitemaps,
@@ -25,6 +26,7 @@ __all__ = [
     "pages_to_warc_records",
     "cdx_index",
     "fetch_cdx_record",
+    "stream_warc",
     "robots_sitemaps",
     "sitemap_entries",
     "sitemap_index_entries",

@@ -302,25 +302,8 @@ def _rows_to_pdf(rows: list[tuple]):
     return pdf
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    record_types: Iterable[str] = ("response", "conversion"),
-    glob: str | None = None,
-    batch_rows: int = 512,
-) -> DataFrame:
-    """Segment files at ``path`` → DataFrame(WARC_SCHEMA).
-
-    One task per file (gzip is not splittable; Common Crawl's ~64k
-    files/crawl out-parallelize any fleet). Records stream out in
-    ``batch_rows`` pandas batches so task memory stays bounded by the
-    compressed file plus one record. A malformed file raises with its
-    path — a silently half-read archive is corpus loss."""
-    wanted = frozenset(record_types)
-    reader = spark.read.format("binaryFile")
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    files = reader.load(path).select("path", "content")
+def _make_parse(wanted: frozenset[str], batch_rows: int):
+    """The mapInPandas kernel shared by read_warc and stream_warc."""
 
     def parse(batches):
         for pdf in batches:
@@ -339,7 +322,68 @@ def read_warc(
                 if rows:
                     yield _rows_to_pdf(rows)
 
-    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+    return parse
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: Iterable[str] = ("response", "conversion"),
+    glob: str | None = None,
+    batch_rows: int = 512,
+) -> DataFrame:
+    """Segment files at ``path`` → DataFrame(WARC_SCHEMA).
+
+    One task per file (gzip is not splittable; Common Crawl's ~64k
+    files/crawl out-parallelize any fleet). Records stream out in
+    ``batch_rows`` pandas batches so task memory stays bounded by the
+    compressed file plus one record. A malformed file raises with its
+    path — a silently half-read archive is corpus loss."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _make_parse(frozenset(record_types), batch_rows), schema=WARC_SCHEMA
+    )
+
+
+#: binaryFile's fixed schema — streaming sources must declare it
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: Iterable[str] = ("response", "conversion"),
+    glob: str | None = None,
+    batch_rows: int = 512,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Standing archive ingest: a STREAMING DataFrame(WARC_SCHEMA)
+    over a segment drop-zone — each new ``.warc(.gz)`` file that lands
+    under ``path`` is parsed exactly once per checkpoint (Structured
+    Streaming's file-source ledger), through the same kernel as
+    read_warc. The landing pattern a continuously-archiving crawl
+    feeds: writeStream the result to the parquet/Iceberg corpus with
+    a checkpointLocation; cap per-trigger work with
+    ``max_files_per_trigger`` so a backlog drains in bounded
+    micro-batches instead of one giant one."""
+    reader = spark.readStream.format("binaryFile").schema(
+        _BINARYFILE_SCHEMA
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(int(max_files_per_trigger))
+        )
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _make_parse(frozenset(record_types), batch_rows), schema=WARC_SCHEMA
+    )
 
 
 #: output contract of :func:`cdx_index`

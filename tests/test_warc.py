@@ -278,3 +278,52 @@ def test_cdx_index_and_random_access(spark, tmp_path):
     assert plain[0][0] == 0
     raw = (tmp_path / "seg.warc").read_bytes()
     assert sum(l for _, l in plain) == len(raw)
+
+
+def test_stream_warc_incremental_ingest(spark, tmp_path):
+    """Standing ingest: an availableNow pass parses the files present;
+    a second pass on the same checkpoint parses ONLY a newly-landed
+    segment (the file-source ledger guarantees exactly-once)."""
+    from scrapy_rs_spark.sources.warc import stream_warc
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (drop / "a.warc.gz").write_bytes(
+        _segment(
+            [
+                build_response_record(
+                    f"http://warc.test/{i}", EPOCH + i, f"<p>{i}</p>".encode()
+                )
+                for i in range(3)
+            ]
+        )
+    )
+
+    def drain():
+        got = []
+        q = (
+            stream_warc(spark, str(drop))
+            .writeStream.foreachBatch(
+                lambda df, eid: got.extend(
+                    (r["url"], bytes(r["html"])) for r in df.collect()
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    first = drain()
+    assert first == [
+        (f"http://warc.test/{i}", f"<p>{i}</p>".encode()) for i in range(3)
+    ]
+    (drop / "b.warc.gz").write_bytes(
+        _segment(
+            [build_response_record("http://warc.test/new", EPOCH, b"<p>n</p>")]
+        )
+    )
+    second = drain()
+    assert second == [("http://warc.test/new", b"<p>n</p>")]
