@@ -327,3 +327,26 @@ def test_stream_warc_incremental_ingest(spark, tmp_path):
     )
     second = drain()
     assert second == [("http://warc.test/new", b"<p>n</p>")]
+
+
+def test_lf_only_line_endings_parse():
+    """Some tools emit bare-LF header lines; the framing kernel
+    accepts them (readline splits on LF; CRLF handling strips both)."""
+    rec = (
+        b"WARC/1.0\nWARC-Type: response\n"
+        b"WARC-Target-URI: http://x/lf\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\n"
+        b"Content-Length: 2\n\nhi\n\n"
+    )
+    rows = list(parse_warc_file("m", rec, frozenset({"response"})))
+    assert len(rows) == 1 and rows[0][0] == "http://x/lf"
+
+
+def test_truncated_gzip_member_raises():
+    from scrapy_rs_spark.sources.warc import iter_gzip_members
+
+    blob = gzip_member(
+        build_response_record("http://x/0", EPOCH, b"b")
+    )
+    with pytest.raises(Exception):
+        list(iter_gzip_members(blob + b"\x1f\x8bgarbage"))
