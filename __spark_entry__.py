@@ -996,6 +996,30 @@ def _q_backlink_priority(spark, sf_dir):
     return backlink_priority(edges)
 
 
+def _q_mixture_plan(spark, sf_dir):
+    """Mixture planning, driver-gated: per-source char budgets
+    closed-form in the source index (2500·(idx+1)) → the production
+    operator (operators/curation.py::mixture_plan: one partial agg +
+    broadcast budget join); counts/weights are exact integers and
+    keep_rate a single IEEE division, so the oracle's recomputation
+    hashes exactly."""
+    from scrapy_rs_spark.operators.curation import mixture_plan
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    targets = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (F.substring(F.col("source"), 4, 10).cast("int") + 1)
+                * 2500
+            ).cast("long").alias("target_weight"),
+        )
+    )
+    return mixture_plan(docs, targets, weight_col="n_chars")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1056,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": _q_sitemap_extract,
         "recrawl_schedule": _q_recrawl_schedule,
         "backlink_priority": _q_backlink_priority,
+        "mixture_plan": _q_mixture_plan,
     }
 
 
@@ -1484,4 +1509,16 @@ WITH e AS (
 )
 SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS backlinks
 FROM e GROUP BY dst""",
+        "mixture_plan": """
+WITH agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_weight,
+         CAST(2500 * (CAST(SUBSTR(source, 4) AS INTEGER) + 1) AS BIGINT)
+           AS target_weight
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_weight, target_weight,
+       LEAST(1.0, target_weight / total_weight) AS keep_rate
+FROM agg""",
     }

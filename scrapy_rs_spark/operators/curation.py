@@ -249,3 +249,50 @@ def chunk_dedup(
         F.count("*").cast("bigint").alias("n_chunks"),
         F.sum(F.col("dropped").cast("bigint")).alias("n_dropped_chunks"),
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    targets: DataFrame | dict[str, int],
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """The step BEFORE quota_sample: turn per-source token budgets
+    into keep rates. (source, n_docs, total_weight, target_weight,
+    keep_rate) per group — keep_rate = min(1, target/total), 0.0 for
+    groups without a budget (excluded from the mix), so
+    ``{r[group]: r['keep_rate'] for ...}`` feeds quota_sample's rates
+    directly and the sampled corpus lands ≈on budget.
+
+    One partial aggregation over the corpus plus a broadcast join
+    against the (tiny) budget table; counts and weights stay exact
+    integers, keep_rate is a single IEEE division — nothing here
+    limits scale. ``targets`` may be a dict (convenience) or a
+    DataFrame(group, target_weight) when budgets are themselves
+    computed."""
+    spark = docs.sparkSession
+    if isinstance(targets, dict):
+        tdf = spark.createDataFrame(
+            [(k, int(v)) for k, v in targets.items()],
+            f"{group_col} string, target_weight long",
+        )
+    else:
+        tdf = targets
+    agg = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(weight_col).cast("long").alias("total_weight"),
+    )
+    joined = agg.join(F.broadcast(tdf), group_col, "left")
+    return joined.select(
+        group_col,
+        "n_docs",
+        "total_weight",
+        F.coalesce(F.col("target_weight"), F.lit(0)).cast("long").alias(
+            "target_weight"
+        ),
+        F.least(
+            F.lit(1.0),
+            F.coalesce(F.col("target_weight"), F.lit(0))
+            / F.col("total_weight"),
+        ).alias("keep_rate"),
+    )

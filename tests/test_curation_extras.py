@@ -171,3 +171,51 @@ def test_pii_scrub_patterns(spark):
     assert (out[1].e, out[1].i, out[1].p) == (1, 1, 1)
     assert out[2].s == "no pii here at all"
     assert (out[2].e, out[2].i, out[2].p) == (0, 0, 0)
+
+
+def test_mixture_plan_rates_and_quota_composition(spark):
+    """Budgets → keep rates: clamp at 1.0 when under-budget is
+    impossible, 0.0 for unbudgeted sources; DataFrame targets match
+    the dict path; rates compose with quota_sample."""
+    from scrapy_rs_spark.operators.curation import mixture_plan, quota_sample
+
+    docs = spark.createDataFrame(
+        [
+            ("a", i, 100) for i in range(10)      # a: 10 docs × 100 = 1000
+        ] + [
+            ("b", 100 + i, 200) for i in range(5) # b: 5 docs × 200 = 1000
+        ] + [
+            ("c", 200, 300)                       # c: unbudgeted
+        ],
+        "source string, doc_id long, n_tokens long",
+    )
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            docs, {"a": 250, "b": 5000}, weight_col="n_tokens"
+        ).collect()
+    }
+    a, b, c = plan["a"], plan["b"], plan["c"]
+    assert (a["n_docs"], a["total_weight"], a["target_weight"]) == (10, 1000, 250)
+    assert a["keep_rate"] == 0.25
+    assert b["keep_rate"] == 1.0  # target 5000 > total 1000 → clamp
+    assert (c["target_weight"], c["keep_rate"]) == (0, 0.0)
+
+    tdf = spark.createDataFrame(
+        [("a", 250), ("b", 5000)], "source string, target_weight long"
+    )
+    plan_df = {
+        r["source"]: r["keep_rate"]
+        for r in mixture_plan(docs, tdf, weight_col="n_tokens").collect()
+    }
+    assert plan_df == {k: v["keep_rate"] for k, v in plan.items()}
+
+    rates = {k: v["keep_rate"] for k, v in plan.items()}
+    kept = quota_sample(docs, rates, group_col="source", key_col="doc_id")
+    kept_by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept_by_src.get("b") == 5       # rate 1.0 keeps all
+    assert "c" not in kept_by_src          # rate 0.0 drops all
+    assert 0 < kept_by_src.get("a", 0) < 10
