@@ -1020,6 +1020,40 @@ def _q_mixture_plan(spark, sf_dir):
     return mixture_plan(docs, targets, weight_col="n_chars")
 
 
+def _q_host_backoff(spark, sf_dir):
+    """Per-host circuit breaker, driver-gated: a closed-form attempt
+    history (doc d attempts rounds 0..d%4 against host h<d%37>, ok
+    when (d+round)%3==0) through the production operator
+    (operators/recrawl.py::host_backoff); oracle recomputes last-
+    success, trailing failures, trip, and exponential cooldown with
+    the same integer arithmetic."""
+    from scrapy_rs_spark.operators.recrawl import host_backoff
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    att = (
+        docs.select(
+            F.col("doc_id"),
+            F.concat(
+                F.lit("h"), F.pmod(F.col("doc_id"), F.lit(37)).cast("string")
+            ).alias("host"),
+            F.explode(
+                F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(4)))
+            ).alias("round"),
+        )
+        .select(
+            "host",
+            F.col("round").cast("long").alias("round"),
+            F.when(
+                F.pmod(F.col("doc_id") + F.col("round"), F.lit(3)) == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("ok"),
+        )
+    )
+    return host_backoff(att, current_round=10, threshold=2)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1081,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": _q_recrawl_schedule,
         "backlink_priority": _q_backlink_priority,
         "mixture_plan": _q_mixture_plan,
+        "host_backoff": _q_host_backoff,
     }
 
 
@@ -1521,4 +1556,47 @@ WITH agg AS (
 SELECT source, n_docs, total_weight, target_weight,
        LEAST(1.0, target_weight / total_weight) AS keep_rate
 FROM agg""",
+        "host_backoff": """
+WITH att AS (
+  SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+         CAST(g.r AS BIGINT) AS round,
+         CASE WHEN (doc_id + g.r) % 3 = 0 THEN 1 ELSE 0 END AS ok
+  FROM documents, (SELECT unnest(range(0, 4)) AS r) g
+  WHERE g.r <= doc_id % 4
+),
+per AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_attempts,
+         CAST(MAX(CASE WHEN ok = 1 THEN round END) AS BIGINT)
+           AS last_ok_round,
+         CAST(MAX(round) AS BIGINT) AS last_round
+  FROM att GROUP BY host
+),
+fails AS (
+  SELECT a.host, CAST(COUNT(*) AS BIGINT) AS trailing_failures
+  FROM att a JOIN per p ON a.host = p.host
+  WHERE a.ok = 0
+    AND (p.last_ok_round IS NULL OR a.round > p.last_ok_round)
+  GROUP BY a.host
+),
+j AS (
+  SELECT p.host, p.n_attempts, p.last_ok_round, p.last_round,
+         CAST(COALESCE(f.trailing_failures, 0) AS BIGINT)
+           AS trailing_failures
+  FROM per p LEFT JOIN fails f ON p.host = f.host
+),
+s AS (
+  SELECT host, n_attempts, last_ok_round, trailing_failures,
+         CAST(CASE WHEN trailing_failures >= 2 THEN 1 ELSE 0 END
+              AS INTEGER) AS tripped,
+         CASE WHEN trailing_failures >= 2
+              THEN last_round
+                   + LEAST(16, 1 << LEAST(trailing_failures, 30))
+              END AS cooldown_until
+  FROM j
+)
+SELECT host, n_attempts, last_ok_round, trailing_failures, tripped,
+       CAST(cooldown_until AS BIGINT) AS cooldown_until,
+       CAST(CASE WHEN cooldown_until > 10 THEN 1 ELSE 0 END AS INTEGER)
+         AS blocked
+FROM s""",
     }

@@ -20,7 +20,7 @@ from scrapy_rs_spark.operators.linkrank import (
     link_graph,
     pagerank,
 )
-from scrapy_rs_spark.operators.recrawl import recrawl_schedule
+from scrapy_rs_spark.operators.recrawl import host_backoff, recrawl_schedule
 from scrapy_rs_spark.operators.textdedup import (
     dedup_clusters,
     exact_dedup,
@@ -34,6 +34,7 @@ __all__ = [
     "backlink_priority",
     "link_graph",
     "pagerank",
+    "host_backoff",
     "recrawl_schedule",
     "dedup_clusters",
     "exact_dedup",

@@ -80,3 +80,101 @@ def recrawl_schedule(
         (F.col("next_due") <= F.lit(int(current_round)))
         .cast("int"),
     )
+
+
+def host_backoff(
+    attempts: DataFrame,
+    current_round: int,
+    threshold: int = 3,
+    max_backoff: int = 16,
+    host_col: str = "host",
+    round_col: str = "round",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Per-host circuit breaker over fetch-attempt history (host,
+    round, ok∈{0,1}): a host that keeps failing stops burning its
+    politeness budget on dead rounds (the Heritrix/Nutch "server
+    gone" treatment the reference lacks — its error handler retries
+    per-request only, core/src/error_handler.rs).
+
+    Per host: ``trailing_failures`` counts failed rounds AFTER the
+    last success (all rounds when none succeeded); ``tripped`` when
+    that reaches ``threshold``; ``cooldown_until`` = last attempt +
+    min(2^trailing, max_backoff) rounds — exponential backoff, integer
+    arithmetic only. ``blocked`` says whether current_round is still
+    inside the cooldown of a tripped host: feed
+    ``filter("blocked = 1")`` hosts into the scheduler's domain
+    blacklist (F4) for the next rounds.
+
+    One partial aggregation per host (last-success max + conditional
+    counts ride the same shuffle); host cardinality ≪ URL cardinality,
+    so this is cheap at any corpus size."""
+    per = attempts.groupBy(host_col).agg(
+        F.count("*").cast("long").alias("n_attempts"),
+        F.max(
+            F.when(F.col(ok_col) == 1, F.col(round_col))
+        ).cast("long").alias("last_ok_round"),
+        F.max(round_col).cast("long").alias("last_round"),
+    )
+    # trailing failures = failures with round > last success — computed
+    # as a second conditional agg joined on the same host key (stays in
+    # one shuffle under AQE since both aggs share the groupBy key)
+    fails = (
+        attempts.join(
+            per.select(host_col, "last_ok_round"), host_col, "left"
+        )
+        .filter(
+            (F.col(ok_col) == 0)
+            & (
+                F.col("last_ok_round").isNull()
+                | (F.col(round_col) > F.col("last_ok_round"))
+            )
+        )
+        .groupBy(host_col)
+        .agg(F.count("*").cast("long").alias("trailing_failures"))
+    )
+    out = (
+        per.join(fails, host_col, "left")
+        .withColumn(
+            "trailing_failures",
+            F.coalesce(F.col("trailing_failures"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "tripped",
+            (F.col("trailing_failures") >= F.lit(int(threshold)))
+            .cast("int"),
+        )
+        .withColumn(
+            "cooldown_until",
+            F.when(
+                F.col("tripped") == 1,
+                F.col("last_round")
+                + F.least(
+                    F.lit(int(max_backoff)).cast("long"),
+                    # shiftleft with a COLUMN bit count only resolves
+                    # via SQL expr (the pyspark wrapper wants an int
+                    # literal — same note as simhash's shiftright)
+                    F.expr(
+                        "shiftleft(cast(1 as bigint), "
+                        "cast(least(trailing_failures, 30) as int))"
+                    ),
+                ),
+            ).cast("long"),
+        )
+        .withColumn(
+            "blocked",
+            F.coalesce(
+                (F.col("cooldown_until") > F.lit(int(current_round))),
+                F.lit(False),
+            ).cast("int"),
+        )
+    )
+    return out.select(
+        host_col,
+        "n_attempts",
+        "last_ok_round",
+        "trailing_failures",
+        "tripped",
+        "cooldown_until",
+        "blocked",
+    )

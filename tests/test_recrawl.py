@@ -61,3 +61,45 @@ def test_due_set_feeds_frontier(spark):
     got = [r["url"] for r in fr.collect()]
     assert got == ["x"]
     assert "priority" in fr.columns and "depth" in fr.columns
+
+
+def test_host_backoff_closed_form(spark):
+    from scrapy_rs_spark.operators.recrawl import host_backoff
+
+    rows = [
+        # h1: ok, ok → healthy
+        ("h1", 0, 1), ("h1", 1, 1),
+        # h2: ok at 1, then 3 failures → tripped, cooldown 4 + min(16, 2^3)=12
+        ("h2", 0, 0), ("h2", 1, 1), ("h2", 2, 0), ("h2", 3, 0), ("h2", 4, 0),
+        # h3: never ok, 2 failures → below threshold
+        ("h3", 0, 0), ("h3", 1, 0),
+        # h4: never ok, 5 failures → tripped, backoff capped at 16
+        *[("h4", r, 0) for r in range(5)],
+    ]
+    df = spark.createDataFrame(rows, "host string, round long, ok int")
+    out = {
+        r["host"]: r
+        for r in host_backoff(df, current_round=10, threshold=3).collect()
+    }
+    h1 = out["h1"]
+    assert (h1["trailing_failures"], h1["tripped"], h1["blocked"]) == (0, 0, 0)
+    assert h1["cooldown_until"] is None
+    h2 = out["h2"]
+    assert (h2["last_ok_round"], h2["trailing_failures"], h2["tripped"]) == (
+        1, 3, 1
+    )
+    assert h2["cooldown_until"] == 4 + 8
+    assert h2["blocked"] == 1  # 12 > 10
+    h3 = out["h3"]
+    assert (h3["last_ok_round"], h3["trailing_failures"], h3["tripped"]) == (
+        None, 2, 0
+    )
+    h4 = out["h4"]
+    assert (h4["trailing_failures"], h4["cooldown_until"]) == (5, 4 + 16)
+    assert h4["blocked"] == 1
+    # a tripped host past its cooldown is no longer blocked
+    out25 = {
+        r["host"]: r
+        for r in host_backoff(df, current_round=25, threshold=3).collect()
+    }
+    assert out25["h2"]["tripped"] == 1 and out25["h2"]["blocked"] == 0
