@@ -39,6 +39,7 @@ def fetch_join(
     batch: DataFrame,
     pages: DataFrame,
     default_timeout_ms: int | None = None,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Left-join the ranked batch to the pages table on canonical url —
     and on method too when the pages table distinguishes methods, so a
@@ -46,10 +47,21 @@ def fetch_join(
     request.rs:240-253) fetch distinct page rows.
 
     Left join so missing pages surface as fetch errors (status NULL ≈
-    connection error). The batch side is small relative to the web →
-    hint broadcast; Catalyst/AQE will fall back to sort-merge when the
-    batch outgrows the threshold. In production both sides are
-    bucket(url)-partitioned Iceberg → storage-partitioned join."""
+    connection error). In production both sides are
+    bucket(url)-partitioned Iceberg → storage-partitioned join.
+
+    broadcast_batch=True restates the left join as
+        (pages ⋈ broadcast(batch))  ∪  (batch ▷ pages-keys)
+    — an inner join that BROADCASTS the batch so the pages side (whose
+    html payload dominates the table) is scanned in place and never
+    crosses an Exchange, plus a key-only anti-join (the pages side
+    projected to its join keys — no payload) that recovers the
+    missing-page rows with NULL response columns. Row-for-row
+    equivalent to the left join (matched rows keep join multiplicity;
+    unmatched rows appear once with NULLs). The caller opts in when the
+    batch is small enough to broadcast (the engine gates on the exact
+    committed frontier size); a huge batch keeps the plain left join,
+    which Catalyst plans as sort-merge."""
     # project ONLY what a round consumes (url/status/html/headers) —
     # pages.text/lang/warc_ts would ride through every shuffle and at
     # 100 TB the text column alone is a large fraction of the table;
@@ -100,7 +112,35 @@ def fetch_join(
     cond = batch["url_canon"] == p["__p_url"]
     if method_aware:
         cond = cond & (batch["method"] == p["__p_method"])
-    joined = batch.join(p, cond, "left").drop("__p_url", "__p_method")
+    if broadcast_batch:
+        matched = p.join(F.broadcast(batch), cond, "inner").drop(
+            "__p_url", "__p_method"
+        )
+        # missing-page detection on KEYS ONLY: the pages side projected
+        # to its join keys (a few bytes/row) — auto-broadcastable at
+        # sandbox scale, a payload-free equi-join at any scale
+        key_cols = [F.col("__p_url").alias("__k_url")]
+        if method_aware:
+            key_cols.append(F.col("__p_method").alias("__k_method"))
+        keys = p.select(*key_cols)
+        acond = batch["url_canon"] == keys["__k_url"]
+        if method_aware:
+            acond = acond & (batch["method"] == keys["__k_method"])
+        missing = batch.join(keys, acond, "left_anti")
+        null_cols = [
+            f for f in p.schema.fields
+            if f.name not in ("__p_url", "__p_method")
+        ]
+        missing = missing.select(
+            "*",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in null_cols
+            ],
+        )
+        joined = matched.select(*missing.columns).unionByName(missing)
+    else:
+        joined = batch.join(p, cond, "left").drop("__p_url", "__p_method")
     if timeout_aware:
         per_row = (
             F.col("timeout_ms")

@@ -392,6 +392,33 @@ class CrawlEngine:
             df = df.withColumn("__host_delay", F.lit(None).cast("bigint"))
         return df
 
+    # ---- round-local cache hygiene ----
+    def _persisted_rdd_ids(self) -> set[int]:
+        try:
+            jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+        except Exception:
+            return set()
+
+    def _release_round_rdds(self, before: set[int]) -> None:
+        """Drop localCheckpoint blocks created during a round once the
+        round is committed. Every round checkpoints its batch/fetched/
+        parsed/candidates frames (html + text payloads — hundreds of MB
+        per large round); the next round re-reads state from the store,
+        so these blocks are dead weight that otherwise accumulates for
+        the whole crawl (guide §5: unpersist when done — measured as
+        round-over-round slowdown and GC pressure on the 200k crawl,
+        and the dominant memory load of the 4M sustained crawl)."""
+        try:
+            jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+            for k in jmap.keySet().toArray():
+                if int(k) not in before:
+                    rdd = jmap.get(k)
+                    if rdd is not None:
+                        rdd.unpersist(False)
+        except Exception:
+            pass  # cache hygiene only — never fail a committed round
+
     # ---- one round ----
     def _run_round(
         self,
@@ -406,6 +433,7 @@ class CrawlEngine:
         _prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
         _t0 = _time.time()
         _marks = []
+        _rdds_before = self._persisted_rdd_ids()
 
         def _mark(label):
             if _prof:
@@ -546,8 +574,19 @@ class CrawlEngine:
                 default_delay_ms=max(s.domain_delay_ms, s.download_delay_ms),
                 host_delays=self.robots if self._has_host_delays else None,
             )
+        # broadcast-batch fetch when the committed frontier size (an
+        # upper bound on this batch) fits the broadcast gate: the pages
+        # side — whose html payload dominates — is then scanned in
+        # place instead of sort-merge-shuffled every round. Strict
+        # pacing keeps the join shape that streams the paced rows.
         fetched = fetch_join(
-            fetch_src, self.pages, default_timeout_ms=s.request_timeout_ms
+            fetch_src,
+            self.pages,
+            default_timeout_ms=s.request_timeout_ms,
+            broadcast_batch=(
+                frontier_hint <= s.fetch_broadcast_max_batch
+                and not s.strict_delay
+            ),
         )
         if self.response_middlewares is not None:
             fetched = self.response_middlewares(fetched)  # X3
@@ -583,12 +622,22 @@ class CrawlEngine:
         _mark("fetch+route")
 
         # ---- parse (X1): items + links, one pandas-UDF pass ----
-        # AQE coalesces the fetch-join output by SIZE (html bytes), which
-        # can serialize the Python parse stage onto 1-2 tasks; the parse
-        # cost is per-row CPU, so spread it across all cores explicitly
-        success = routes["success"].repartition(
-            self.spark.sparkContext.defaultParallelism
-        )
+        # AQE coalesces a sort-merge fetch-join's output by SIZE (html
+        # bytes), which can serialize the Python parse stage onto 1-2
+        # tasks; the parse cost is per-row CPU, so spread it across all
+        # cores explicitly — but ONLY when the join actually collapsed
+        # the partitioning: the broadcast-batch join preserves the
+        # pages scan's partitioning, and repartitioning there would
+        # shuffle every html byte once for nothing (guide §2.4)
+        success = routes["success"]
+        try:
+            fetched_parts = fetched.rdd.getNumPartitions()
+        except Exception:
+            fetched_parts = 0
+        if fetched_parts < self.spark.sparkContext.defaultParallelism:
+            success = success.repartition(
+                self.spark.sparkContext.defaultParallelism
+            )
         # optional transport metadata (response.rs:35-45) projected by
         # fetch_join when the pages table carries it — surfaced to item
         # pipelines through the items.fields map (response middlewares
@@ -903,6 +952,7 @@ class CrawlEngine:
                     .alias("bucket"),
                 )
             )
+        self._release_round_rdds(_rdds_before)
         _mark("commit")
         if _prof:
             print(f"[round {rnd}] n={n_batch} " + " ".join(
@@ -1110,12 +1160,18 @@ class CrawlEngine:
             else None
         )
         # frontier-size hint for the adaptive single-window budget rank
-        # (exact when metrics carry it; never undercounts either way)
-        fhint = None
+        # AND the fetch-join broadcast gate (exact when metrics carry
+        # it; never undercounts either way). Budget paths need a hint
+        # to pick the rank shape, so they probe when metrics lack one;
+        # unlimited crawls just skip the broadcast gate in that case.
+        fhint = fr_size
         delay = max(self.settings.domain_delay_ms,
                     self.settings.download_delay_ms)
-        if delay > 0 or self.settings.max_requests_per_domain is not None:
-            fhint = fr_size if fr_size is not None else frontier.count()
+        if fhint is None and (
+            delay > 0
+            or self.settings.max_requests_per_domain is not None
+        ):
+            fhint = frontier.count()
         while rnd < max_rounds:
             if self._stop_requested:
                 break
@@ -1142,8 +1198,7 @@ class CrawlEngine:
                 frontier_hint=fhint if fhint is not None else 1 << 62,
             )
             fr_size = m["frontier_size"]
-            if fhint is not None:
-                fhint = fr_size
+            fhint = fr_size
             stats.record(m)
             if self.signals is not None:
                 self.signals.emit_round(m)

@@ -59,6 +59,17 @@ class Settings:
     # anti-join) — skew is bounded by the threshold itself; above it the
     # salted two-phase rank guards hot hosts
     salt_min_frontier: int = 1_000_000
+    # fetch-join strategy gate: when the committed frontier (an upper
+    # bound on the round's batch) is at most this many rows, the fetch
+    # restates the batch×pages left join as broadcast(batch)⋈pages +
+    # a key-only anti-join, so the pages side's html payload is
+    # scanned in place and never crosses an Exchange (guide §3.1: pick
+    # the join strategy deliberately; §2.3: shuffle keys, not
+    # payloads). Above the gate the plain left join (sort-merge)
+    # stands. Size to executor/driver broadcast budget on a cluster
+    # (rows × ~250 B must fit comfortably under the 8 GB broadcast
+    # cap); the default keeps broadcasts ≤ ~125 MB.
+    fetch_broadcast_max_batch: int = 500_000
     # per-bucket bloom pre-filter (north rule). NOTE: the sidecar writes
     # per-bucket .npy files under <store>/bloom — on a real cluster the
     # store path MUST be shared storage (HDFS/S3/NFS) visible to every
