@@ -583,18 +583,30 @@ def _q_neardup_lsh(spark, sf_dir):
     All three are integer/flag comparisons, deterministic (seed-42
     planes), so a recall or blowup regression is a hash mismatch."""
     from scrapy_rs_spark.operators.similarity import (
+        cosine_expr,
         cosine_near_dup_pairs,
         lsh_band_candidates,
-        lsh_near_dup_pairs,
     )
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    pairs = lsh_near_dup_pairs(emb, threshold=0.25, n_bands=8, n_planes=8)
+    # ONE candidate generation feeds both the scored-pairs check and
+    # the candidate bound (it was previously computed twice — once
+    # inside lsh_near_dup_pairs and once for the bound), and the exact
+    # baseline is materialized once for its three consumers. Scoring
+    # below is lsh_near_dup_pairs' own expression, verbatim.
+    cands = lsh_band_candidates(emb, 8, 8).localCheckpoint(eager=False)
+    pairs = cands.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
+    ).filter(F.col("score") >= 0.25)
     capped = pairs.filter(
         (F.col("id_a") < 300) & (F.col("id_b") < 300)
     ).select("id_a", "id_b")
-    exact = cosine_near_dup_pairs(emb, threshold=0.25, max_id=300).select(
-        "id_a", "id_b"
+    exact = (
+        cosine_near_dup_pairs(emb, threshold=0.25, max_id=300)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     viol = capped.join(exact, ["id_a", "id_b"], "left_anti").agg(
         F.count("*").alias("subset_violations")
@@ -603,9 +615,7 @@ def _q_neardup_lsh(spark, sf_dir):
         F.count("*").alias("__n_hit")
     )
     ex_n = exact.agg(F.count("*").alias("__n_exact"))
-    cand_n = lsh_band_candidates(emb, 8, 8).agg(
-        F.count("*").alias("__n_cand")
-    )
+    cand_n = cands.agg(F.count("*").alias("__n_cand"))
     corp_n = emb.agg(F.count("*").alias("__n"))
     row = (
         viol.crossJoin(hit).crossJoin(ex_n).crossJoin(cand_n).crossJoin(corp_n)
@@ -794,15 +804,22 @@ def _q_crawl_bfs(spark, sf_dir):
     )
     frontier = spark.createDataFrame([(0, 0)], "page_id BIGINT, min_depth INT")
     seen = frontier
+    # bounded depth (3 rounds) → one lazily-composed plan: the frontier
+    # and seen sides are tiny at every level, so they ride as broadcast
+    # build sides and the whole BFS runs as a single Spark job with no
+    # per-round materialization. (The production engine keeps per-round
+    # checkpoints because its rounds are unbounded and committed; this
+    # query's 3 fixed rounds need neither — guide §2.4/§3.1.)
     for d in range(1, max_depth + 1):
         nxt = (
-            frontier.join(edges, frontier["page_id"] == edges["src"])
+            F.broadcast(frontier)
+            .join(edges, frontier["page_id"] == edges["src"])
             .select(F.col("dst").alias("page_id"))
             .distinct()
-            .join(seen.select("page_id"), "page_id", "left_anti")
+            .join(F.broadcast(seen.select("page_id")), "page_id", "left_anti")
             .withColumn("min_depth", F.lit(d))
         )
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        seen = seen.unionByName(nxt)
         frontier = nxt
     return seen
 

@@ -185,24 +185,30 @@ def chunk_dedup(
     chunks) fail LOUDLY executor-side (assert_true row predicate —
     no extra job, evaluated before the aggregation buffers anything)
     instead of OOMing an executor mid-agg."""
-    words = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    # chunks straight from the intact word array (transform + slice),
+    # then one explode — a pure projection. The previous formulation
+    # exploded every word and re-assembled chunks with a corpus-wide
+    # groupBy(doc, chunk_id) collect_list: a full shuffle of every
+    # word in the corpus that existed only to undo the explode
+    # (guide §2.4). Chunk ids and contents are identical. The word
+    # array is bound as its own projected column first — an HOF
+    # lambda re-evaluates captured non-attribute expressions per
+    # element (same hazard as textdedup.shingles).
+    words = F.col("__cd_words")
+    base = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__cd_words")
     )
-    chunks = (
-        words.withColumn(
-            "chunk_id", (F.col("pos") / F.lit(chunk_words)).cast("int")
-        )
-        .groupBy(id_col, "chunk_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-            ).alias("chunk")
-        )
+    n_chunks_m1 = F.floor((F.size(words) - 1) / F.lit(chunk_words)).cast(
+        "int"
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks_m1),
+        lambda c: F.array_join(
+            F.slice(words, c * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    chunks = base.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("chunk_id", "chunk")
     )
     freq = (
         chunks.groupBy(F.md5("chunk").alias("chunk_hash"))

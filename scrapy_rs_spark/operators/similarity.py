@@ -370,28 +370,35 @@ def lsh_band_candidates(
     band_buckets = srp_band_buckets_udf(planes, n_bands, n_planes)(
         F.col(vec_col)
     )
+    # the band self-join moves IDS ONLY: each vector's full payload
+    # previously rode the ×b band explode on BOTH join sides and was
+    # shuffled again through the pair-dedup aggregation (~b×2×|vec|
+    # bytes of avoidable exchange per row at corpus scale). Deduped
+    # (id_a, id_b) pairs pick their vectors back up with one equi-join
+    # per side, so each payload crosses the wire once (guide §2.3 /
+    # §8: decide with small rows, move big rows once). Output rows
+    # are identical — ids are unique, so first(va) ≡ the joined va.
     vb = vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.posexplode(band_buckets).alias("__band", "__bucket"),
+        F.col(id_col), F.posexplode(band_buckets).alias("__band", "__bucket")
     )
-    a = vb.select(
-        "__band",
-        "__bucket",
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-    )
-    b = vb.select(
-        "__band",
-        "__bucket",
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-    )
-    return (
+    a = vb.select("__band", "__bucket", F.col(id_col).alias("id_a"))
+    b = vb.select("__band", "__bucket", F.col(id_col).alias("id_b"))
+    pairs = (
         a.join(b, ["__band", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vbk = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vbk, "id_b")
+        .select("id_a", "id_b", "va", "vb")
     )
 
 

