@@ -583,8 +583,8 @@ def _q_neardup_lsh(spark, sf_dir):
     All three are integer/flag comparisons, deterministic (seed-42
     planes), so a recall or blowup regression is a hash mismatch."""
     from scrapy_rs_spark.operators.similarity import (
-        cosine_expr,
         cosine_near_dup_pairs,
+        cosine_with_norms,
         lsh_band_candidates,
     )
 
@@ -598,7 +598,12 @@ def _q_neardup_lsh(spark, sf_dir):
     pairs = cands.select(
         "id_a",
         "id_b",
-        F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
+        F.round(
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+            ),
+            6,
+        ).alias("score"),
     ).filter(F.col("score") >= 0.25)
     capped = pairs.filter(
         (F.col("id_a") < 300) & (F.col("id_b") < 300)

@@ -41,6 +41,19 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine_expr with the two norms supplied as precomputed columns.
+
+    Bit-identical to cosine_expr when na/nb are _norm(a)/_norm(b): the
+    same fold produces the same double, and the product/division are
+    the same IEEE ops. The point is WHERE the norm fold runs — array
+    higher-order functions are interpreted (no codegen), so computing
+    each vector's norm once in a projection *below* the pair join,
+    instead of once per scored pair, cuts the interpreted fold count
+    from 3 per pair to 1 (guide §1.2 step 2: per-task work)."""
+    return _dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -58,11 +71,20 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
-    scored = vectors.crossJoin(F.broadcast(q)).select(
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn")
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("__qv"), F.col("__vn"), F.col("__qn")
+            ),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -142,15 +164,23 @@ def lsh_ann_topk(
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = srp_planes(dim, n_planes)
-    vb = vectors.withColumn("__bucket", srp_bucket_expr(F.col(vec_col), planes))
+    vb = vectors.withColumn(
+        "__bucket", srp_bucket_expr(F.col(vec_col), planes)
+    ).withColumn("__vn", _norm(F.col(vec_col)))
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     ).withColumn("__bucket", srp_bucket_expr(F.col("__qv"), planes))
     scored = vb.join(F.broadcast(qb), "__bucket").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("__qv"), F.col("__vn"), F.col("__qn")
+            ),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -323,16 +353,28 @@ def ivf_ann_topk(
         return pd.Series(list(ids[order]))
 
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     probes = q.select(
-        "query_id", "__qv", F.explode(_probe(F.col("__qv"))).alias("centroid_id")
+        "query_id",
+        "__qv",
+        "__qn",
+        F.explode(_probe(F.col("__qv"))).alias("centroid_id"),
     )
 
-    scored = corpus.join(F.broadcast(probes), "centroid_id").select(
+    scored = corpus.withColumn("__vn", _norm(F.col(vec_col))).join(
+        F.broadcast(probes), "centroid_id"
+    ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("__qv"), F.col("__vn"), F.col("__qn")
+            ),
+            6,
+        ).alias("score"),
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -363,7 +405,9 @@ def lsh_band_candidates(
     several bands are deduped BEFORE scoring so each pair's cosine is
     computed once.
 
-    Returns (id_a, id_b, va, vb) with id_a < id_b."""
+    Returns (id_a, id_b, va, vb, __na, __nb) with id_a < id_b — the
+    norms ride along so scorers pay one interpreted fold per pair,
+    not three (see cosine_with_norms)."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = srp_planes(dim, n_bands * n_planes, seed=seed)
@@ -390,15 +434,19 @@ def lsh_band_candidates(
         .distinct()
     )
     va = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
     vbk = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
     )
     return (
         pairs.join(va, "id_a")
         .join(vbk, "id_b")
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b", "va", "vb", "__na", "__nb")
     )
 
 
@@ -425,7 +473,12 @@ def lsh_near_dup_pairs(
         cands.select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -444,14 +497,27 @@ def cosine_near_dup_pairs(
     v = vectors
     if max_id is not None:
         v = v.filter(F.col(id_col) < max_id)
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

@@ -982,18 +982,39 @@ class CrawlEngine:
             )
         seeds_df = seeds_frontier(self.spark, seeds)
         # invalid URLs error at Request construction in the reference
-        # (request.rs:107-108) — reject at enqueue, never fetch/retry
-        invalid = seeds_df.filter(F.col("url_canon").isNull()).count()
-        seeds_df = seeds_df.filter(F.col("url_canon").isNotNull())
+        # (request.rs:107-108) — reject at enqueue, never fetch/retry.
+        # Both seed counters ride Observations on the frontier WRITE
+        # (the same trick the round loop uses): one execution of the
+        # seeds plan — canonicalize UDF included — instead of two
+        # standalone counts plus a write
+        from pyspark.sql import Observation
+
+        obs_valid = Observation("seed_validity")
+        seeds_df = seeds_df.observe(
+            obs_valid,
+            F.sum(F.col("url_canon").isNull().cast("long")).alias(
+                "n_invalid"
+            ),
+        ).filter(F.col("url_canon").isNotNull())
         frontier0 = apply_enqueue_filters(seeds_df, s)
         frontier0 = dedup_in_batch(frontier0)
+        obs_fr0 = Observation("seed_frontier")
+        frontier0 = frontier0.observe(
+            obs_fr0, F.count(F.lit(1)).alias("n")
+        )
         # round 0 = seeding commit: enqueue marks seen immediately
-        # (memory_scheduler.rs:40-46)
-        n_seeds = frontier0.count()
+        # (memory_scheduler.rs:40-46). The frontier is staged first so
+        # the observations resolve; the seen delta then reads the
+        # committed parquet back instead of re-running the seeds plan
+        self.store.begin_round(0)
+        self.store.write_frontier(0, frontier0)
+        invalid = int(obs_valid.get["n_invalid"] or 0)
+        n_seeds = int(obs_fr0.get["n"] or 0)
+        frontier0_disk = self.store.load_frontier(0)
         self.store.commit_round(
             0,
-            frontier0,
-            frontier0.select("url_hash"),
+            None,  # staged above
+            frontier0_disk.select("url_hash"),
             None,
             None,
             {
@@ -1007,10 +1028,11 @@ class CrawlEngine:
                 "frontier_size": n_seeds,
                 "seen_size": n_seeds,
             },
+            clean=False,
         )
         if self.bloom is not None:
             self.bloom.update_from(
-                frontier0.select(
+                frontier0_disk.select(
                     "url_hash",
                     F.pmod(
                         F.col("url_hash"), F.lit(s.seen_buckets)
