@@ -155,13 +155,24 @@ class StreamingCrawl:
             fetch_src = strict_spacing(
                 fetch_src, default_delay_ms=strict_delay_ms
             )
+        # a micro-batch is one round's staged candidate file(s) —
+        # bounded and small next to the pages table, so the broadcast
+        # form of the fetch join applies (html scanned in place, never
+        # shuffled), exactly as in the batch engine's gated path
         fetched = fetch_join(
             fetch_src, self.pages,
             default_timeout_ms=s.request_timeout_ms,
+            broadcast_batch=not s.strict_delay,
         ).localCheckpoint(eager=True)
-        success = fetched.filter(is_success(F.col("status"))).repartition(
-            self.spark.sparkContext.defaultParallelism
-        )
+        success = fetched.filter(is_success(F.col("status")))
+        try:
+            fetched_parts = fetched.rdd.getNumPartitions()
+        except Exception:
+            fetched_parts = 0
+        if fetched_parts < self.spark.sparkContext.defaultParallelism:
+            success = success.repartition(
+                self.spark.sparkContext.defaultParallelism
+            )
         items = success.select(
             "url",
             F.lit("extracted_text").alias("item_type"),
