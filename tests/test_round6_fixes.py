@@ -9,14 +9,9 @@ import pyspark.sql.functions as F
 import pytest
 from pyspark.sql.window import Window
 
-from scrapy_rs_spark.session import build_session
-
-
-@pytest.fixture(scope="module")
-def spark():
-    s = build_session(app_name="round6_tests", master="local[4]")
-    yield s
-    s.stop()
+# uses the session-scoped `spark` fixture from conftest.py — a local
+# fixture calling build_session().stop() would stop the getOrCreate
+# session shared with every other test file
 
 
 def _rows(df):
