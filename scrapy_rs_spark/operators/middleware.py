@@ -206,6 +206,13 @@ def log_pipeline(
       extra job and a driver-side scan — the documented 10^10
       anti-pattern (SURVEY §2.9); use it for debugging small crawls,
       per-round aggregates (A1-A4) for production telemetry.
+
+      CAUTION — eager execution: this variant runs its job the moment
+      the pipeline chain is INVOKED (during the engine's round-plan
+      construction, before the items write), re-executing the parse
+      lineage once, and it logs items even if the round later fails to
+      commit. Deferring to post-commit would need an engine-level
+      write hook; the executor_side=True default has neither problem.
     """
     import logging
 

@@ -171,4 +171,11 @@ def sitemap_seeds(
         import warnings
 
         warnings.warn(msg, RuntimeWarning)
-    return out.distinct()
+    # Collapse per URL, not per (url, priority, lastmod): a URL listed
+    # in multiple sitemaps with different hints must yield ONE seed row
+    # (highest priority / newest lastmod win) — duplicate seed rows
+    # would reach the frontier nondeterministically.
+    return out.groupBy("url").agg(
+        F.max("priority").alias("priority"),
+        F.max("lastmod").alias("lastmod"),
+    )

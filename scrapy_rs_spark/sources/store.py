@@ -83,12 +83,65 @@ class CrawlStore:
     def _seen_table_path(self) -> str:
         return os.path.join(self.root, "seen_bucketed")
 
+    def _seen_meta_path(self) -> str:
+        return os.path.join(self.root, "seen_bucketed_meta.json")
+
+    def _recover_seen_table_dir(self) -> None:
+        """Crash recovery for _compact_seen_bucketed's rename window: the
+        compacted table is fully written to ``seen_bucketed_compact``
+        BEFORE the two renames (main → ``_old``, ``_compact`` → main), so
+        a crash between them leaves main missing with the complete data
+        in one (or both) side dirs. Without this, a restart would
+        register NO seen table and silently treat the whole crawl
+        history as unseen. Prefer the compacted dir (the newer state);
+        fall back to the pre-compaction backup."""
+        path = self._seen_table_path()
+        if os.path.isdir(path):
+            return
+        tmp = path + "_compact"
+        bak = path + "_old"
+        for cand in (tmp, bak):
+            if os.path.isdir(cand):
+                os.replace(cand, path)
+                break
+        else:
+            return
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    def _check_seen_meta(self) -> None:
+        """Pin the bucket count at table creation. Bucketing is declared
+        per-session from CURRENT settings (``CLUSTERED BY ... INTO N
+        BUCKETS`` over existing files); resuming with a different
+        ``seen_buckets`` would silently declare WRONG bucketing over the
+        on-disk layout and the exchange-free anti-join could mis-cluster
+        — letting already-seen URLs through. Fail loud instead."""
+        meta = self._seen_meta_path()
+        if os.path.exists(meta):
+            with open(meta) as f:
+                stored = json.load(f).get("seen_buckets")
+            if stored != self.seen_buckets:
+                raise ValueError(
+                    f"seen_bucketed table at {self._seen_table_path()} was"
+                    f" created with seen_buckets={stored}; this store was"
+                    f" opened with seen_buckets={self.seen_buckets}."
+                    " Reopen with the original bucket count (or compact"
+                    " with the original count first)."
+                )
+        else:
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"seen_buckets": self.seen_buckets}, f)
+            os.replace(tmp, meta)
+
     def _ensure_seen_table(self) -> None:
         """Register the bucketed seen table in the session catalog.
         Bucketing metadata lives in the CATALOG, not the files — a new
         session (resume) must re-register the existing location or the
         scan degrades to a plain parquet read (and the anti-join would
         re-shuffle the seen side)."""
+        self._recover_seen_table_dir()
+        self._check_seen_meta()
         if self.spark.catalog.tableExists(self._seen_table):
             return
         path = self._seen_table_path()

@@ -478,9 +478,15 @@ def fetch_cdx_record(
     binaryFile puts in the index."""
     p = source_file
     if p.startswith("file:"):
-        p = p[len("file:") :]
-        while p.startswith("//"):
-            p = p[1:]
+        from urllib.parse import unquote, urlparse
+
+        parts = urlparse(p)
+        if parts.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"fetch_cdx_record: remote file URI not supported: "
+                f"{source_file!r} (netloc={parts.netloc!r})"
+            )
+        p = unquote(parts.path)
     with open(p, "rb") as f:
         f.seek(int(offset))
         blob = f.read(int(length))

@@ -254,3 +254,133 @@ def test_round_rdds_released_after_crawl(spark, tmp_path):
     # every round-local checkpoint was unpersisted; only pre-existing
     # RDDs (the pages checkpoint) remain
     assert after <= before
+
+
+# ---------------------------------------------------------------------------
+# ADVICE correctness fixes (store recovery, bucket pinning, CDX URIs,
+# sitemap seed collapse)
+# ---------------------------------------------------------------------------
+
+def _commit_seen(spark, store, rnd, hashes):
+    from scrapy_rs_spark.schemas import FRONTIER_DDL
+
+    store.commit_round(
+        rnd,
+        spark.createDataFrame([], FRONTIER_DDL),
+        spark.createDataFrame([(h,) for h in hashes], "url_hash BIGINT"),
+        None,
+        None,
+        {"round": rnd},
+    )
+
+
+def test_bucketed_seen_recovers_from_compaction_crash(spark, tmp_path):
+    """Crash window in _compact_seen_bucketed: main dir renamed away
+    before the compacted dir is renamed in. A restart must restore the
+    seen set from the side dirs, never silently report it empty."""
+    import os
+    import shutil
+
+    from scrapy_rs_spark.sources.store import CrawlStore
+
+    root = str(tmp_path / "rec")
+    store = CrawlStore(spark, root, seen_buckets=4, bucketed_seen=True)
+    _commit_seen(spark, store, 1, range(40))
+    _commit_seen(spark, store, 2, range(40, 60))
+    expect = set(range(60))
+    main = store._seen_table_path()
+
+    # window A: crash right after os.replace(main, bak) — the complete
+    # compacted table sits in _compact, the pre-compaction data in _old
+    shutil.copytree(main, main + "_compact")
+    os.replace(main, main + "_old")
+    spark.sql(f"DROP TABLE IF EXISTS {store._seen_table}")  # simulate restart
+    store2 = CrawlStore(spark, root, seen_buckets=4, bucketed_seen=True)
+    assert {r.url_hash for r in store2.load_seen().collect()} == expect
+    assert os.path.isdir(main)
+    assert not os.path.isdir(main + "_compact")
+    assert not os.path.isdir(main + "_old")
+
+    # window B: only the backup remains (crash before tmp was complete
+    # never removes main, but belt-and-braces: _old alone restores too)
+    os.replace(main, main + "_old")
+    spark.sql(f"DROP TABLE IF EXISTS {store2._seen_table}")
+    store3 = CrawlStore(spark, root, seen_buckets=4, bucketed_seen=True)
+    assert {r.url_hash for r in store3.load_seen().collect()} == expect
+
+
+def test_bucketed_seen_rejects_bucket_count_mismatch(spark, tmp_path):
+    """Reopening a bucketed store with a different seen_buckets must
+    fail loud — re-declaring bucketing over existing files would let
+    the exchange-free anti-join mis-cluster."""
+    import pytest
+
+    from scrapy_rs_spark.sources.store import CrawlStore
+
+    root = str(tmp_path / "meta")
+    store = CrawlStore(spark, root, seen_buckets=4, bucketed_seen=True)
+    _commit_seen(spark, store, 1, range(10))
+    spark.sql(f"DROP TABLE IF EXISTS {store._seen_table}")
+    with pytest.raises(ValueError, match="seen_buckets=4"):
+        CrawlStore(spark, root, seen_buckets=8, bucketed_seen=True)
+    # original count still works
+    store2 = CrawlStore(spark, root, seen_buckets=4, bucketed_seen=True)
+    assert store2.load_seen().count() == 10
+
+
+def test_fetch_cdx_record_file_uri_forms(tmp_path):
+    """file: URIs resolve via urlparse: file:///abs, file://localhost/abs
+    and percent-encoded paths all open the same local file; a remote
+    netloc is rejected instead of silently misread as a path."""
+    import pytest
+
+    from scrapy_rs_spark.sources.warc import (
+        build_response_record,
+        fetch_cdx_record,
+    )
+
+    d = tmp_path / "with space"
+    d.mkdir()
+    seg = d / "seg.warc"
+    rec = build_response_record(
+        "http://warc.test/u", 1735689600, b"<p>x</p>"
+    )
+    seg.write_bytes(rec)
+    plain = str(seg)
+    quoted = "file://" + str(seg).replace(" ", "%20")
+    localhost = "file://localhost" + str(seg).replace(" ", "%20")
+    triple = "file://" + "/" + str(seg).replace(" ", "%20").lstrip("/")
+    for uri in (plain, quoted, localhost, triple):
+        got = fetch_cdx_record(uri, 0, len(rec))
+        assert len(got) == 1 and got[0][0] == "http://warc.test/u"
+    with pytest.raises(ValueError, match="netloc"):
+        fetch_cdx_record("file://otherhost/etc/hosts", 0, 1)
+
+
+def test_sitemap_seeds_collapse_per_url(spark):
+    """A URL listed by two sitemaps with different hints yields ONE
+    seed row: highest priority and newest lastmod win."""
+    from scrapy_rs_spark.sources.sitemap import sitemap_seeds
+
+    a = (
+        b"<urlset><url><loc>http://s.test/x</loc>"
+        b"<priority>0.9</priority></url></urlset>"
+    )
+    b = (
+        b"<urlset><url><loc>http://s.test/x</loc>"
+        b"<priority>0.2</priority><lastmod>2025-02-01</lastmod>"
+        b"</url></urlset>"
+    )
+    pages = spark.createDataFrame(
+        [("http://s.test/a.xml", a), ("http://s.test/b.xml", b)],
+        "url string, html binary",
+    )
+    sm = spark.createDataFrame(
+        [("http://s.test/a.xml",), ("http://s.test/b.xml",)],
+        "sitemap_url string",
+    )
+    rows = sitemap_seeds(sm, pages).collect()
+    assert len(rows) == 1
+    assert (rows[0]["url"], rows[0]["priority"], rows[0]["lastmod"]) == (
+        "http://s.test/x", 9, "2025-02-01"
+    )
