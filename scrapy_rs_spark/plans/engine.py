@@ -834,6 +834,7 @@ class CrawlEngine:
         candidates = anti_join_seen(
             candidates, seen, bloom=self.bloom
         ).select(*FRONTIER_COLS)
+        _mark("antijoin-built")
         # one materialization — candidates feed the count, the seen delta,
         # and the frontier commit; without this the parse-UDF chain would
         # recompute 3-4× per round. Lazy: the new-URL count below is the
