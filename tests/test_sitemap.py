@@ -102,8 +102,8 @@ def test_robots_sitemaps_case_insensitive_crlf(spark):
 def test_sitemap_seeds_walks_index_and_maps_priority(spark):
     """robots → index → {a, b, missing}: union of both urlsets,
     priority 0.8→8, 0.2→2, absent→5; url/1 appears in both sitemaps
-    but seeds are distinct per (url, priority, lastmod); the missing
-    child sitemap contributes nothing."""
+    but seeds collapse to one row per url (max priority/lastmod); the
+    missing child sitemap contributes nothing."""
     pages = _pages(
         spark,
         [
