@@ -198,10 +198,14 @@ class CrawlStore:
     # ---- commit ----
     def begin_round(self, rnd: int) -> None:
         """Clear any uncommitted leftovers for a round so partial writes
-        (write_items before commit_round) start from a clean dir."""
+        (write_items before commit_round) start from a clean dir. The
+        (empty) dir is created so a round whose parquet all lands
+        elsewhere (bucketed seen table) can still seal metrics/MANIFEST
+        into it."""
         d = self._round_dir(rnd)
         if os.path.exists(d):
             shutil.rmtree(d)  # re-running an uncommitted round is safe
+        os.makedirs(d, exist_ok=True)
 
     def write_items(self, rnd: int, items: DataFrame | None) -> None:
         """Write a round's items ahead of commit_round (still invisible
@@ -222,11 +226,39 @@ class CrawlStore:
             os.path.join(self._round_dir(rnd), "frontier")
         )
 
+    def write_seen_delta(self, rnd: int, seen_delta: DataFrame) -> None:
+        """Stage a round's seen delta ahead of commit_round (invisible
+        to readers until MANIFEST: the plain layout lives inside the
+        round dir, the bucketed table tags rows with the round and
+        readers filter to committed rounds). Lets the engine overlap
+        the items / frontier / seen writes; pass seen_delta=None to
+        commit_round afterwards."""
+        if self.bucketed_seen:
+            # append into the bucketed table, tagged with the round;
+            # readers filter to committed rounds so this stays invisible
+            # until MANIFEST lands
+            self._append_seen_bucketed(seen_delta, rnd)
+            return
+        (
+            seen_delta.withColumn(
+                "bucket",
+                F.pmod(
+                    F.col("url_hash"), F.lit(self.seen_buckets)
+                ).cast("int"),
+            )
+            # cluster rows by bucket before the partitioned write: one
+            # file per bucket instead of (tasks × buckets) small files
+            .repartition(self.seen_buckets, F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(self._round_dir(rnd), "seen_delta"))
+        )
+
     def commit_round(
         self,
         rnd: int,
         frontier: DataFrame | None,
-        seen_delta: DataFrame,
+        seen_delta: DataFrame | None,
         items: DataFrame | None,
         host_served: DataFrame | None,
         metrics: dict,
@@ -237,8 +269,9 @@ class CrawlStore:
         An interrupted write leaves no MANIFEST → the round is invisible
         to resume, exactly like an uncommitted Iceberg snapshot.
         clean=False preserves state already staged into the round dir
-        (begin_round + write_items/write_frontier; frontier=None /
-        items=None mean "already staged")."""
+        (begin_round + write_items/write_frontier/write_seen_delta;
+        frontier=None / items=None / seen_delta=None mean "already
+        staged")."""
         d = self._round_dir(rnd)
         if clean:
             self.begin_round(rnd)
@@ -246,26 +279,8 @@ class CrawlStore:
             frontier.write.mode("overwrite").parquet(
                 os.path.join(d, "frontier")
             )
-        if self.bucketed_seen:
-            # append into the bucketed table, tagged with the round;
-            # readers filter to committed rounds so this stays invisible
-            # until MANIFEST lands
-            self._append_seen_bucketed(seen_delta, rnd)
-        else:
-            (
-                seen_delta.withColumn(
-                    "bucket",
-                    F.pmod(
-                        F.col("url_hash"), F.lit(self.seen_buckets)
-                    ).cast("int"),
-                )
-                # cluster rows by bucket before the partitioned write: one
-                # file per bucket instead of (tasks × buckets) small files
-                .repartition(self.seen_buckets, F.col("bucket"))
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(os.path.join(d, "seen_delta"))
-            )
+        if seen_delta is not None:
+            self.write_seen_delta(rnd, seen_delta)
         if items is not None:
             items.write.mode("overwrite").parquet(os.path.join(d, "items"))
         if host_served is not None:

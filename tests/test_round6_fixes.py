@@ -384,3 +384,43 @@ def test_sitemap_seeds_collapse_per_url(spark):
     assert (rows[0]["url"], rows[0]["priority"], rows[0]["lastmod"]) == (
         "http://s.test/x", 9, "2025-02-01"
     )
+
+
+def test_staged_seen_delta_commit_equivalence(spark, tmp_path):
+    """The round's three outputs can be staged concurrently ahead of
+    commit_round (write_items/write_frontier/write_seen_delta +
+    seen_delta=None): membership, bucket layout and lineage match the
+    single-call commit, and the staged delta stays invisible until
+    MANIFEST lands."""
+    from scrapy_rs_spark.sources.store import CrawlStore
+
+    for bucketed in (False, True):
+        root = str(tmp_path / f"staged_{bucketed}")
+        store = CrawlStore(
+            spark, root, seen_buckets=4, bucketed_seen=bucketed
+        )
+        _commit_seen(spark, store, 1, range(30))
+
+        # round 2 staged piecewise, commit sealed with all-None
+        store.begin_round(2)
+        store.write_seen_delta(
+            2, spark.createDataFrame([(h,) for h in range(30, 55)],
+                                     "url_hash BIGINT")
+        )
+        # staged but uncommitted → invisible to readers
+        assert {r.url_hash for r in store.load_seen().collect()} == set(
+            range(30)
+        )
+        store.commit_round(2, None, None, None, None, {"round": 2},
+                           clean=False)
+        assert {r.url_hash for r in store.load_seen().collect()} == set(
+            range(55)
+        )
+        # bucket column preserved for partition-pruned probes
+        assert {r.bucket for r in store.load_seen().collect()} <= {0, 1, 2, 3}
+        # lineage recorded the staged delta's files like a direct commit
+        rows = [
+            r for r in store.load_lineage()
+            if r["round"] == 2 and r["dataset"] == "seen_delta"
+        ]
+        assert sum(r["rows"] for r in rows) == 25
