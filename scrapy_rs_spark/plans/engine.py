@@ -233,22 +233,6 @@ class CrawlEngine:
                 n_buckets=self.settings.seen_buckets,
                 bits_per_bucket=self.settings.bloom_bits_per_bucket,
             )
-        # persistent 3-thread pool for the round's staged writes (items
-        # / frontier / seen delta — disjoint destinations, overlapped
-        # per round). ONE pool for the engine's lifetime: PySpark's
-        # pinned-thread mode maps each Python thread to a JVM peer
-        # thread, so a per-round pool would leak a JVM thread per
-        # worker per round on long crawls
-        self._write_pool = None
-
-    def _writer_pool(self):
-        if self._write_pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._write_pool = ThreadPoolExecutor(
-                max_workers=3, thread_name_prefix="round-writes"
-            )
-        return self._write_pool
 
     # ---- per-host budget for a round (politeness T1 + per-domain cap F6) ----
     @property
@@ -888,53 +872,21 @@ class CrawlEngine:
         else:
             new_served = None  # lifetime per-host accounting only with a cap
 
-        # stage all three round outputs (items / frontier / seen delta
-        # — disjoint destinations, all invisible until MANIFEST) from
-        # the writer pool so their final stages and file IO overlap
-        # instead of running end-to-end three times; the shared
-        # candidates checkpoint is computed once under the block
-        # manager's per-partition locks regardless of which write gets
-        # there first. Observations attached to the items and frontier
-        # plans resolve with their writes — item/decode-error counts
-        # and the committed frontier size still cost no extra jobs.
-        # An Observation riding the frontier write returns BOTH the
-        # committed frontier size and the new-URL count — within this
-        # round, candidate rows (parsed links + redirects, post
-        # filter/dedup/anti-join) are exactly the discovery_round ==
-        # rnd+1 rows of the union; leftover/gated/retry rows are all
-        # older. This replaces the standalone candidates.count() job AND
-        # the crawl loop's per-round frontier.isEmpty() probe — two
-        # driver round-trips off the fixed per-round job floor.
-        obs_fr = Observation(f"frontier_r{rnd}")
-        next_frontier = next_frontier.observe(
-            obs_fr,
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (F.col("discovery_round") == F.lit(rnd + 1)).cast("long")
-            ).alias("n_new"),
-        )
+        # items are written first (inside the round dir, still invisible
+        # until MANIFEST) so the observations attached to the items plan
+        # resolve — item/decode-error counts cost no extra jobs.
+        # The three staged writes run SERIALLY on the driver thread, by
+        # measurement: overlapping them from a thread pool was tried
+        # this round and reverted — concurrent consumers of the lazily
+        # localCheckpointed candidates RDD race its checkpoint
+        # finalization (the first completed job truncates lineage while
+        # a sibling job is mid-schedule), which showed up as bursts of
+        # DAGScheduler accumulator-update failures, slower sustained
+        # crawls, and one outright write failure at the 4M design point.
         self.store.begin_round(rnd)
         _mark("pre-items")
-        futures = [
-            self._writer_pool().submit(fn, rnd, df)
-            for fn, df in (
-                (self.store.write_items, items),
-                (self.store.write_frontier, next_frontier),
-                (self.store.write_seen_delta, seen_delta),
-            )
-        ]
-        # surface the FIRST failure but always join every write first —
-        # a failed round must not leave a sibling write still running
-        # while the engine unwinds (no MANIFEST → nothing committed)
-        errs = []
-        for fut in futures:
-            try:
-                fut.result()
-            except BaseException as e:  # noqa: BLE001 — re-raised below
-                errs.append(e)
-        if errs:
-            raise errs[0]
-        _mark("writes")
+        self.store.write_items(rnd, items)
+        _mark("items-write")
         raw = obs_raw.get
         n_parsed = int(raw["n"] or 0)
         n_null_text = int(raw["n_null"] or 0)
@@ -952,6 +904,28 @@ class CrawlEngine:
             "retries": 0,  # filled below
             "new_urls": 0,  # filled below
         }
+        # frontier staged next (still invisible until MANIFEST): its
+        # write is the action that materializes the candidates
+        # checkpoint, and an Observation riding it returns BOTH the
+        # committed frontier size and the new-URL count — within this
+        # round, candidate rows (parsed links + redirects, post
+        # filter/dedup/anti-join) are exactly the discovery_round ==
+        # rnd+1 rows of the union; leftover/gated/retry rows are all
+        # older. This replaces the standalone candidates.count() job AND
+        # the crawl loop's per-round frontier.isEmpty() probe — two
+        # driver round-trips off the fixed per-round job floor.
+        obs_fr = Observation(f"frontier_r{rnd}")
+        next_frontier = next_frontier.observe(
+            obs_fr,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("discovery_round") == F.lit(rnd + 1)).cast("long")
+            ).alias("n_new"),
+        )
+        self.store.write_frontier(rnd, next_frontier)
+        # seen delta staged last (reads the now-cached candidates
+        # partitions); commit_round below seals metrics + MANIFEST
+        self.store.write_seen_delta(rnd, seen_delta)
         fr_vals = obs_fr.get
         n_new = int(fr_vals["n_new"] or 0)
         n_retries_requeued = 0 if retries is None else retries.count()
@@ -1342,12 +1316,6 @@ class CrawlEngine:
         self._emit(SPIDER_CLOSED, final)
         self._emit(ENGINE_STOPPED, final)
         self._stop_requested = False  # the store stays resumable
-        if self._write_pool is not None:
-            # all rounds committed — release the writer threads (and
-            # their JVM peers); a later run()/resume() re-creates the
-            # pool lazily
-            self._write_pool.shutdown(wait=True)
-            self._write_pool = None
         stats.duration_s = _time.monotonic() - _t_start
         return stats
 
